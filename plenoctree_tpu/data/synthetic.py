@@ -1,0 +1,108 @@
+"""Procedural analytic test scene.
+
+Defines a smooth density/color field (a cluster of gaussian blobs with
+distinct colors inside the unit box) and renders ground-truth images by dense
+quadrature of the volumetric rendering integral along camera rays — the same
+compositing semantics the NeRF model optimizes, so training on these images
+must converge. Used by the `synthetic` dataset, tests and bench.py so the
+full pipeline runs with zero external data.
+"""
+
+import numpy as np
+
+from plenoctree_tpu.data.poses import pose_spherical
+from plenoctree_tpu.data.rays import generate_rays
+
+# Blob centers / radii / colors (inside [-1, 1]^3).
+_BLOBS = np.array(
+    [
+        # x      y      z     radius   r    g    b    density
+        [0.0, 0.0, 0.0, 0.45, 0.9, 0.2, 0.2, 40.0],
+        [0.55, 0.0, 0.25, 0.28, 0.2, 0.85, 0.3, 50.0],
+        [-0.5, 0.3, -0.2, 0.3, 0.25, 0.35, 0.95, 45.0],
+        [0.1, -0.55, 0.4, 0.22, 0.95, 0.85, 0.2, 60.0],
+    ],
+    dtype=np.float32,
+)
+
+
+def scene_sigma_rgb(points):
+    """Analytic (sigma, rgb) of the test scene at [..., 3] points."""
+    points = np.asarray(points, dtype=np.float32)
+    sigma = np.zeros(points.shape[:-1], dtype=np.float32)
+    rgb_accum = np.zeros(points.shape[:-1] + (3,), dtype=np.float32)
+    for cx, cy, cz, rad, r, g, b, dens in _BLOBS:
+        d2 = ((points - np.array([cx, cy, cz])) ** 2).sum(-1)
+        w = dens * np.exp(-d2 / (2 * (rad / 2.0) ** 2)).astype(np.float32)
+        sigma += w
+        rgb_accum += w[..., None] * np.array([r, g, b], dtype=np.float32)
+    rgb = rgb_accum / np.maximum(sigma[..., None], 1e-8)
+    rgb = np.where(sigma[..., None] > 1e-6, rgb, 0.5)
+    return sigma, rgb.astype(np.float32)
+
+
+def render_rays_analytic(origins, directions, near, far, n_samples=192, white_bkgd=True):
+    """Dense-quadrature volumetric render of the analytic scene."""
+    t = np.linspace(near, far, n_samples, dtype=np.float32)
+    pts = origins[..., None, :] + t[:, None] * directions[..., None, :]
+    sigma, rgb = scene_sigma_rgb(pts)
+    dists = np.diff(t, append=t[-1] + (t[-1] - t[-2]))
+    dists = dists * np.linalg.norm(directions, axis=-1, keepdims=True)
+    alpha = 1.0 - np.exp(-sigma * dists)
+    trans = np.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = np.concatenate([np.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    weights = alpha * trans
+    comp = (weights[..., None] * rgb).sum(-2)
+    acc = weights.sum(-1)
+    if white_bkgd:
+        comp = comp + (1.0 - acc[..., None])
+    return np.clip(comp, 0.0, 1.0).astype(np.float32)
+
+
+def render_synthetic_scene(split, n_views, resolution, white_bkgd, near, far):
+    """Render n_views orbit cameras at `resolution`^2; returns
+    (images [N,H,W,3], camtoworlds [N,4,4], focal)."""
+    radius = 3.2
+    phis = {"train": -25.0, "val": -32.0, "test": -40.0}.get(split, -40.0)
+    offset = {"train": 0.0, "val": 9.0, "test": 15.0}.get(split, 15.0)
+    thetas = np.linspace(0, 360, n_views, endpoint=False) + offset
+    camtoworlds = np.stack(
+        [pose_spherical(th, phis, radius) for th in thetas], axis=0
+    ).astype(np.float32)
+    focal = 1.1 * resolution
+    rays = generate_rays(resolution, resolution, focal, camtoworlds)
+    images = render_rays_analytic(
+        rays.origins.reshape(-1, 3),
+        rays.directions.reshape(-1, 3),
+        near,
+        far,
+        white_bkgd=white_bkgd,
+    ).reshape(n_views, resolution, resolution, 3)
+    return images, camtoworlds, focal
+
+
+def write_blender_dataset(out_dir, n_train=12, n_test=4, resolution=64, white_bkgd=True):
+    """Materialize the synthetic scene as an on-disk Blender-format dataset
+    (transforms_{split}.json + PNGs) for end-to-end CLI tests."""
+    import json
+    import os
+
+    from PIL import Image
+
+    camera_angle_x = 2.0 * np.arctan(0.5 * resolution / (1.1 * resolution))
+    for split, n in (("train", n_train), ("test", n_test), ("val", n_test)):
+        images, c2ws, _ = render_synthetic_scene(
+            split, n, resolution, white_bkgd, near=2.0, far=6.0
+        )
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        frames = []
+        for i in range(n):
+            rel = f"./{split}/r_{i}"
+            img = (images[i] * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(out_dir, f"{rel}.png"))
+            frames.append(
+                {"file_path": rel, "transform_matrix": c2ws[i].tolist()}
+            )
+        with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": float(camera_angle_x), "frames": frames}, f)
+    return out_dir

@@ -1,0 +1,205 @@
+"""Training + chunked inference engine.
+
+Replaces the reference's pmap train/infer plumbing (nerf_sh/train.py:51-121,
+163-198; nerf_sh/nerf/utils.py:282-381,701-731) with jit-over-Mesh GSPMD:
+
+  * state replicated, ray batch sharded on the mesh "data" axis;
+  * the global-mean loss makes XLA emit the gradient psum over ICI itself
+    (no explicit pmean);
+  * per-step RNG is derived with fold_in(rng, step) — deterministic and
+    resume-stable, no per-device key plumbing (threefry partitioning keeps
+    sampled noise shardable);
+  * lr comes from the log-lerp schedule evaluated inside the step.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import random
+
+jax.config.update("jax_threefry_partitionable", True)
+
+from plenoctree_tpu import types
+from plenoctree_tpu.ops.metrics import compute_psnr
+from plenoctree_tpu.parallel import mesh as mesh_lib
+from plenoctree_tpu.utils import checkpoints as ckpt_utils
+from plenoctree_tpu.utils import lr as lr_lib
+
+
+def make_train_step(model, cfg, mesh=None, donate=True):
+    """Build the jitted train step: (state, batch, rng) -> (state, stats, lr).
+
+    Loss = fine MSE + coarse MSE + sparsity + weight decay
+    (parity: nerf_sh/train.py:68-114).
+    """
+    schedule = lr_lib.schedule_from_config(cfg)
+    tx = ckpt_utils.make_optimizer()
+
+    def train_step(state, batch, rng):
+        step_rng = random.fold_in(rng, state.step)
+        key_0, key_1, key_2 = random.split(step_rng, 3)
+        rest = {k: v for k, v in state.variables.items() if k != "params"}
+
+        def loss_fn(params):
+            variables = dict(rest, params=params)
+            rays = batch["rays"]
+            ret = model.apply(variables, key_0, key_1, rays, cfg.randomized)
+
+            if cfg.sparsity_weight > 0.0:
+                sp_points = random.uniform(
+                    key_2,
+                    (cfg.sparsity_npoints, 3),
+                    minval=-cfg.sparsity_radius,
+                    maxval=cfg.sparsity_radius,
+                )
+                _, sp_sigma = model.apply(
+                    variables, sp_points, method=model.eval_points_raw
+                )
+                sp_sigma = jax.nn.relu(sp_sigma)
+                loss_sp = cfg.sparsity_weight * (
+                    1.0 - jnp.exp(-cfg.sparsity_length * sp_sigma).mean()
+                )
+            else:
+                loss_sp = 0.0
+
+            rgb, _, _ = ret[-1]
+            loss = ((rgb - batch["pixels"][..., :3]) ** 2).mean()
+            psnr = compute_psnr(loss)
+            if len(ret) > 1:
+                rgb_c, _, _ = ret[0]
+                loss_c = ((rgb_c - batch["pixels"][..., :3]) ** 2).mean()
+                psnr_c = compute_psnr(loss_c)
+            else:
+                loss_c = 0.0
+                psnr_c = 0.0
+
+            def tree_sum(fn):
+                return jax.tree_util.tree_reduce(
+                    lambda x, y: x + fn(y), params, initializer=0.0
+                )
+
+            weight_l2 = tree_sum(lambda z: jnp.sum(z**2)) / tree_sum(
+                lambda z: float(np.prod(z.shape))
+            )
+            stats = types.Stats(
+                loss=loss,
+                psnr=psnr,
+                loss_c=loss_c,
+                psnr_c=psnr_c,
+                weight_l2=weight_l2,
+                loss_sp=loss_sp,
+            )
+            total = loss + loss_c + loss_sp + cfg.weight_decay_mult * weight_l2
+            return total, stats
+
+        (_, stats), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.variables["params"]
+        )
+        lr = schedule(state.step)
+        updates, new_opt_state = tx.update(
+            grad, state.opt_state, state.variables["params"]
+        )
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        new_params = optax.apply_updates(state.variables["params"], updates)
+        new_state = ckpt_utils.TrainState(
+            step=state.step + 1,
+            variables=dict(rest, params=new_params),
+            opt_state=new_opt_state,
+        )
+        return new_state, stats, lr
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_args)
+
+
+def make_render_fn(model, cfg, randomized=False):
+    """Jitted full-model chunk renderer: (variables, k0, k1, rays) -> ret."""
+
+    @jax.jit
+    def render_fn(variables, key_0, key_1, rays):
+        return model.apply(variables, key_0, key_1, rays, randomized)
+
+    return render_fn
+
+
+def make_eval_points_fn(model, raw_rgb=True, coarse=False):
+    """Jitted point query: (variables, points, viewdirs) -> (rgb, sigma)."""
+    method = model.eval_points_raw if raw_rgb else model.eval_points
+
+    @jax.jit
+    def points_fn(variables, points, viewdirs):
+        if model.use_viewdirs or not raw_rgb:
+            return model.apply(variables, points, viewdirs, coarse, method=method)
+        return model.apply(variables, points, coarse=coarse, method=method)
+
+    return points_fn
+
+
+def render_image(render_fn, rays, rng, normalize_disp=False, chunk=8192, mesh=None):
+    """Render all pixels of an image in device-sharded chunks.
+
+    Parity: nerf_sh/nerf/utils.py:331-381. Chunks are edge-padded to the data
+    axis size and placed with NamedSharding; results come back unpadded.
+
+    Returns:
+      (rgb [H, W, 3], disp [H, W, 1], acc [H, W, 1]) as device arrays.
+    """
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    height, width = rays[0].shape[:2]
+    num_rays = height * width
+    rays = types.namedtuple_map(
+        lambda r: np.asarray(r).reshape((num_rays, -1)), rays
+    )
+    _, key_0, key_1 = random.split(rng, 3)
+    results = []
+    for i in range(0, num_rays, chunk):
+        chunk_rays = types.namedtuple_map(lambda r: r[i : i + chunk], rays)
+        padded = [mesh_lib.pad_to_multiple(r, n_data) for r in chunk_rays]
+        padding = padded[0][1]
+        chunk_rays = types.Rays(*[p[0] for p in padded])
+        chunk_rays = mesh_lib.shard_pytree_batch(chunk_rays, mesh)
+        ret = render_fn(key_0, key_1, chunk_rays)[-1]
+        out = [np.asarray(x) for x in ret]
+        if padding:
+            out = [x[:-padding] for x in out]
+        results.append(out)
+    rgb, disp, acc = [np.concatenate(r, axis=0) for r in zip(*results)]
+    if normalize_disp:
+        disp = (disp - disp.min()) / (disp.max() - disp.min())
+    return (
+        rgb.reshape((height, width, -1)),
+        disp.reshape((height, width, -1)),
+        acc.reshape((height, width, -1)),
+    )
+
+
+def eval_points(points_fn, points, viewdirs=None, chunk=720720, mesh=None):
+    """Evaluate (rgb, sigma) over a large point set in sharded chunks.
+
+    Parity: nerf_sh/nerf/utils.py:282-328. Returns host numpy arrays.
+    """
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    num_points = points.shape[0]
+    rgbs, sigmas = [], []
+    for i in range(0, num_points, chunk):
+        chunk_points = np.asarray(points[i : i + chunk])
+        chunk_dirs = None if viewdirs is None else np.asarray(viewdirs[i : i + chunk])
+        chunk_points, padding = mesh_lib.pad_to_multiple(chunk_points, n_data)
+        if chunk_dirs is not None:
+            chunk_dirs, _ = mesh_lib.pad_to_multiple(chunk_dirs, n_data)
+            chunk_dirs = mesh_lib.shard_pytree_batch(chunk_dirs, mesh)
+        chunk_points = mesh_lib.shard_pytree_batch(chunk_points, mesh)
+        rgb, sigma = points_fn(chunk_points, chunk_dirs)
+        rgb, sigma = np.asarray(rgb), np.asarray(sigma)
+        if padding:
+            rgb, sigma = rgb[:-padding], sigma[:-padding]
+        rgbs.append(rgb)
+        sigmas.append(sigma)
+    return np.concatenate(rgbs, axis=0), np.concatenate(sigmas, axis=0)
