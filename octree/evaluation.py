@@ -1,0 +1,8 @@
+"""Shim: forwards to plenoctree_tpu.cli.evaluate (reference CLI surface)."""
+
+from absl import app
+
+from plenoctree_tpu.cli.evaluate import main
+
+if __name__ == "__main__":
+    app.run(main)

@@ -157,9 +157,12 @@ def render_image(render_fn, rays, rng, normalize_disp=False, chunk=8192, mesh=No
     )
     _, key_0, key_1 = random.split(rng, 3)
     results = []
+    # Pad every chunk (incl. the tail) to the full chunk size so the jitted
+    # render fn sees ONE static shape — one XLA compile per resolution.
+    pad_target = max(chunk, n_data)
     for i in range(0, num_rays, chunk):
         chunk_rays = types.namedtuple_map(lambda r: r[i : i + chunk], rays)
-        padded = [mesh_lib.pad_to_multiple(r, n_data) for r in chunk_rays]
+        padded = [mesh_lib.pad_to_multiple(r, pad_target) for r in chunk_rays]
         padding = padded[0][1]
         chunk_rays = types.Rays(*[p[0] for p in padded])
         chunk_rays = mesh_lib.shard_pytree_batch(chunk_rays, mesh)
@@ -188,12 +191,13 @@ def eval_points(points_fn, points, viewdirs=None, chunk=720720, mesh=None):
     n_data = mesh.shape[mesh_lib.DATA_AXIS]
     num_points = points.shape[0]
     rgbs, sigmas = [], []
+    pad_target = max(chunk, n_data)
     for i in range(0, num_points, chunk):
         chunk_points = np.asarray(points[i : i + chunk])
         chunk_dirs = None if viewdirs is None else np.asarray(viewdirs[i : i + chunk])
-        chunk_points, padding = mesh_lib.pad_to_multiple(chunk_points, n_data)
+        chunk_points, padding = mesh_lib.pad_to_multiple(chunk_points, pad_target)
         if chunk_dirs is not None:
-            chunk_dirs, _ = mesh_lib.pad_to_multiple(chunk_dirs, n_data)
+            chunk_dirs, _ = mesh_lib.pad_to_multiple(chunk_dirs, pad_target)
             chunk_dirs = mesh_lib.shard_pytree_batch(chunk_dirs, mesh)
         chunk_points = mesh_lib.shard_pytree_batch(chunk_points, mesh)
         rgb, sigma = points_fn(chunk_points, chunk_dirs)

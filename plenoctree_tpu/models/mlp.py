@@ -4,17 +4,20 @@ Behavior parity with nerf_sh/nerf/model_utils.py:30-94: a `net_depth` x
 `net_width` trunk with a skip concat every `skip_layer` layers (at i>0 with
 i % skip == 0), a sigma head off the trunk, and an optional view-conditioned
 branch (bottleneck + condition concat -> `net_depth_condition` layers) before
-the RGB head. Layer auto-naming (Dense_0..Dense_N in call order) matches the
-flax '@nn.compact' convention of JaxNeRF so reference flax checkpoints load
-into this module without key translation.
+the RGB head. Layers are explicitly named Dense_0..Dense_N in call order, the
+same names flax '@nn.compact' auto-assigns in JaxNeRF, so reference flax
+checkpoints load without key translation.
+
+Also provides `cross()`: trunk once per point, condition branch per
+(point, dir) pair — the cross-broadcast trick the reference's torch MLP used
+for Monte-Carlo SH projection (octree/nerf/model_utils.py:139-144), which
+keeps the expensive 8x256 trunk off the projection's D-fold direction axis.
 
 TPU notes: inputs are flattened to [rows, features] so every layer is one
 [rows, in] x [in, out] matmul on the MXU; `compute_dtype=bfloat16` runs the
-matmuls in bf16 with f32 params/outputs (mixed precision) - the default is
-f32 for strict reference parity.
+matmuls in bf16 with f32 params/outputs - default f32 for reference parity.
 """
 
-import functools
 from typing import Any, Callable
 
 import jax
@@ -33,9 +36,49 @@ class TrunkMLP(nn.Module):
     skip_layer: int = 4
     num_rgb_channels: int = 3
     num_sigma_channels: int = 1
+    condition: bool = True  # whether the view-conditioned branch exists
     compute_dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        dense = lambda width, name: nn.Dense(
+            width,
+            kernel_init=jax.nn.initializers.glorot_uniform(),
+            dtype=self.compute_dtype,
+            name=name,
+        )
+        i = 0
+        trunk = []
+        for _ in range(self.net_depth):
+            trunk.append(dense(self.net_width, f"Dense_{i}"))
+            i += 1
+        self.trunk = trunk
+        self.sigma_head = dense(self.num_sigma_channels, f"Dense_{i}")
+        i += 1
+        if self.condition:
+            self.bottleneck = dense(self.net_width, f"Dense_{i}")
+            i += 1
+            cond = []
+            for _ in range(self.net_depth_condition):
+                cond.append(dense(self.net_width_condition, f"Dense_{i}"))
+                i += 1
+            self.cond_layers = cond
+        self.rgb_head = dense(self.num_rgb_channels, f"Dense_{i}")
+
+    def _trunk_features(self, x):
+        """[rows, feat] -> (trunk activations [rows, W])."""
+        inputs = x
+        for i, layer in enumerate(self.trunk):
+            x = self.net_activation(layer(x))
+            if i % self.skip_layer == 0 and i > 0:
+                x = jnp.concatenate([x, inputs], axis=-1)
+        return x
+
+    def _condition_branch(self, bottleneck, condition):
+        x = jnp.concatenate([bottleneck, condition], axis=-1)
+        for layer in self.cond_layers:
+            x = self.net_activation(layer(x))
+        return x
+
     def __call__(self, x, condition=None):
         """Run the MLP.
 
@@ -51,28 +94,41 @@ class TrunkMLP(nn.Module):
         feature_dim = x.shape[-1]
         num_samples = x.shape[1]
         x = x.reshape([-1, feature_dim]).astype(self.compute_dtype)
-        dense = functools.partial(
-            nn.Dense,
-            kernel_init=jax.nn.initializers.glorot_uniform(),
-            dtype=self.compute_dtype,
-        )
-        inputs = x
-        for i in range(self.net_depth):
-            x = self.net_activation(dense(self.net_width)(x))
-            if i % self.skip_layer == 0 and i > 0:
-                x = jnp.concatenate([x, inputs], axis=-1)
-        raw_sigma = dense(self.num_sigma_channels)(x).astype(jnp.float32)
+        x = self._trunk_features(x)
+        raw_sigma = self.sigma_head(x).astype(jnp.float32)
         raw_sigma = raw_sigma.reshape([-1, num_samples, self.num_sigma_channels])
 
         if condition is not None:
-            bottleneck = dense(self.net_width)(x)
+            b = self.bottleneck(x)
             # Every sample on a ray shares its condition vector.
             condition = jnp.tile(
                 condition[:, None, :].astype(self.compute_dtype), (1, num_samples, 1)
             ).reshape([-1, condition.shape[-1]])
-            x = jnp.concatenate([bottleneck, condition], axis=-1)
-            for _ in range(self.net_depth_condition):
-                x = self.net_activation(dense(self.net_width_condition)(x))
-        raw_rgb = dense(self.num_rgb_channels)(x).astype(jnp.float32)
+            x = self._condition_branch(b, condition)
+        raw_rgb = self.rgb_head(x).astype(jnp.float32)
         raw_rgb = raw_rgb.reshape([-1, num_samples, self.num_rgb_channels])
+        return raw_rgb, raw_sigma
+
+    def cross(self, x, condition):
+        """Cross-broadcast evaluation: every point against every direction.
+
+        Args:
+          x: [P, feature] encoded points.
+          condition: [D, feature] encoded directions.
+
+        Returns:
+          raw_rgb [P, D, num_rgb_channels], raw_sigma [P, num_sigma_channels].
+        """
+        x = x.astype(self.compute_dtype)
+        x = self._trunk_features(x)
+        raw_sigma = self.sigma_head(x).astype(jnp.float32)
+        b = self.bottleneck(x)
+        p, d = b.shape[0], condition.shape[0]
+        bb = jnp.broadcast_to(b[:, None, :], (p, d, b.shape[-1])).reshape(p * d, -1)
+        cc = jnp.broadcast_to(
+            condition[None, :, :].astype(self.compute_dtype),
+            (p, d, condition.shape[-1]),
+        ).reshape(p * d, -1)
+        out = self._condition_branch(bb, cc)
+        raw_rgb = self.rgb_head(out).astype(jnp.float32).reshape(p, d, -1)
         return raw_rgb, raw_sigma

@@ -65,6 +65,10 @@ class NerfModel(nn.Module):
             skip_layer=self.skip_layer,
             num_rgb_channels=self.num_rgb_channels,
             num_sigma_channels=self.num_sigma_channels,
+            # Only materialize the view branch when conditioning is used, so
+            # layer numbering (sigma head -> rgb head) matches the reference's
+            # call-order auto-naming for SH/SG models.
+            condition=self.use_viewdirs,
             compute_dtype=self.compute_dtype,
         )
         self.MLP_0 = TrunkMLP(**mlp_kwargs)
@@ -148,6 +152,28 @@ class NerfModel(nn.Module):
         else:
             raw_rgb, raw_sigma = mlp(points_enc)
         return raw_rgb[0], raw_sigma[0]
+
+    def eval_points_cross(self, points, viewdirs, coarse=False):
+        """Cross-broadcast raw outputs: every point against every direction.
+
+        Used by Monte-Carlo SH projection of view-dependent NeRFs (parity:
+        octree/nerf/models.py:211-252 with cross_broadcast=True). Requires
+        use_viewdirs. The trunk runs once per point; only the small condition
+        branch runs per (point, dir) pair.
+
+        Args:
+          points: [P, 3]; viewdirs: [D, 3].
+
+        Returns:
+          raw_rgb [P, D, 3], raw_sigma [P, num_sigma_channels].
+        """
+        assert self.use_viewdirs
+        points_enc = posenc(
+            points, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
+        )
+        viewdirs_enc = posenc(viewdirs, 0, self.deg_view, self.legacy_posenc_order)
+        mlp = self.MLP_0 if (coarse or self.num_fine_samples <= 0) else self.MLP_1
+        return mlp.cross(points_enc, viewdirs_enc)
 
     def eval_points(self, points, viewdirs=None, coarse=False):
         """Activated (rgb, sigma) at arbitrary points, decoding SH/SG."""

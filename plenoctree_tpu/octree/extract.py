@@ -1,0 +1,163 @@
+"""NeRF -> PlenOctree extraction pipeline (library).
+
+Parity with octree/extraction.py: auto_scale (:244-286), step1 grid eval +
+sigma/weight masking + refinement (:288-353), step2 antialiased leaf fill
+(:355-394), project_nerf_to_sh (:217-241). The NeRF queries run through the
+sharded chunked `engine.eval_points` path on the mesh; tree bookkeeping is
+host numpy (SURVEY.md §7 step 6).
+"""
+
+import numpy as np
+
+from plenoctree_tpu import engine
+from plenoctree_tpu.octree.grid_weight import calculate_grid_weights
+from plenoctree_tpu.ops import sh_project
+from plenoctree_tpu.utils.io import host0_print as h0print
+
+
+def _grid_points(reso, offset, invradius, z_min=None, z_max=None):
+    """World-coord centers of a reso^3 grid covering the tree volume."""
+    arr = (np.arange(0, reso, dtype=np.float32) + 0.5) / reso
+    xx = (arr - offset[0]) / invradius[0]
+    yy = (arr - offset[1]) / invradius[1]
+    zz = (arr - offset[2]) / invradius[2]
+    if z_min is not None:
+        zz = zz[zz >= z_min]
+    if z_max is not None:
+        zz = zz[zz <= z_max]
+    grid = np.stack(np.meshgrid(xx, yy, zz, indexing="ij"), axis=-1).reshape(-1, 3)
+    return grid
+
+
+def _eval_sigma(points_fn, grid, chunk, use_viewdirs, mesh=None):
+    dirs = np.zeros_like(grid) if use_viewdirs else None
+    _, sigma = engine.eval_points(points_fn, grid, dirs, chunk=chunk, mesh=mesh)
+    return sigma[..., 0]
+
+
+def auto_scale(cfg, center, radius, points_fn, mesh=None):
+    """Shrink the bbox to the sigma support (parity: extraction.py:244-286)."""
+    h0print("* Step 0: Auto scale")
+    reso = 2**cfg.init_grid_depth
+    radius = np.asarray(radius, np.float32)
+    center = np.asarray(center, np.float32)
+    scale = 0.5 / radius
+    offset = 0.5 * (1.0 - center / radius)
+    grid = _grid_points(reso, offset, scale, cfg.z_min, cfg.z_max)
+
+    sigmas = _eval_sigma(points_fn, grid, cfg.chunk, cfg.use_viewdirs, mesh)
+    approx_delta = 2.0 / reso
+    sigma_thresh = -np.log(1.0 - cfg.scale_alpha_thresh) / approx_delta
+    mask = sigmas >= sigma_thresh
+    grid = grid[mask]
+    if grid.shape[0] == 0:
+        h0print("  (no voxels above threshold; keeping original bbox)")
+        return center.tolist(), radius.tolist()
+    lc = grid.min(axis=0) - 0.5 / reso
+    uc = grid.max(axis=0) + 0.5 / reso
+    return ((lc + uc) * 0.5).tolist(), ((uc - lc) * 0.5).tolist()
+
+
+def step1_build(cfg, tree, points_fn, dataset, mesh=None):
+    """Dense grid eval -> sigma/weight mask -> refine to init_grid_depth."""
+    h0print("* Step 1: Grid eval")
+    reso = 2 ** (cfg.init_grid_depth + 1)
+    grid = _grid_points(reso, tree.offset, tree.invradius, cfg.z_min, cfg.z_max)
+    h0print("  init grid", grid.shape)
+
+    sigmas = _eval_sigma(points_fn, grid, cfg.chunk, cfg.use_viewdirs, mesh)
+    approx_delta = 2.0 / reso
+    sigma_thresh = -np.log(1.0 - cfg.alpha_thresh) / approx_delta
+
+    if cfg.masking_mode == "sigma":
+        mask = sigmas >= sigma_thresh
+    elif cfg.masking_mode == "weight":
+        h0print("* Calculating grid weights")
+        grid_weights = calculate_grid_weights(
+            dataset,
+            np.maximum(sigmas, 0.0),
+            reso,
+            tree.invradius,
+            tree.offset,
+        )
+        mask = grid_weights.reshape(-1) >= cfg.weight_thresh
+    else:
+        raise ValueError(f"unknown masking_mode {cfg.masking_mode}")
+
+    grid = grid[mask]
+    h0print("  masked grid", grid.shape)
+    h0print("  Building octree")
+    for _ in range(cfg.init_grid_depth):
+        tree.refine_points(grid)
+    h0print(" ", tree)
+    assert tree.max_depth == cfg.init_grid_depth
+    return tree
+
+
+def project_nerf_to_sh(points_fn_cross, sh_deg, points, projection_samples, rng=None):
+    """Project a view-dependent NeRF's radiance to SH coefficients.
+
+    Args:
+      points_fn_cross: (points [P,3], dirs [D,3]) -> (raw_rgb [P,D,3], sigma).
+      sh_deg: target SH degree.
+      points: [P, 3].
+
+    Returns:
+      coeffs [P, 3*(sh_deg+1)^2], sigma [P, 1].
+    """
+
+    def spherical_fn(dirs):
+        return points_fn_cross(points, dirs)
+
+    coeffs, sigma = sh_project.project_function_nerf(
+        sh_deg, spherical_fn, projection_samples, rng
+    )
+    return coeffs.reshape(points.shape[0], -1), np.asarray(sigma)
+
+
+def step2_fill(cfg, tree, points_fn, points_fn_cross=None, mesh=None, rng=None):
+    """Antialiased leaf fill: average `samples_per_cell` jittered NeRF
+    samples per leaf (alpha-weighted for RGBA trees)."""
+    h0print("* Step 2: AA", cfg.samples_per_cell)
+    rng = rng or np.random.default_rng(20200823)
+
+    depths = tree.depths
+    leaf_ind = np.nonzero(depths == tree.max_depth)[0]
+
+    if cfg.use_viewdirs:
+        chunk_size = max(
+            1, cfg.chunk // (cfg.samples_per_cell * max(cfg.projection_samples // 10, 1))
+        )
+    else:
+        chunk_size = max(1, cfg.chunk // cfg.samples_per_cell)
+
+    for i in range(0, leaf_ind.size, chunk_size):
+        chunk_inds = leaf_ind[i : i + chunk_size]
+        points = tree.leaf_sample_points(chunk_inds, cfg.samples_per_cell, rng)
+        points = points.reshape(-1, 3)
+
+        if not cfg.use_viewdirs:
+            rgb, sigma = engine.eval_points(
+                points_fn, points, None, chunk=cfg.chunk, mesh=mesh
+            )
+        else:
+            rgb, sigma = project_nerf_to_sh(
+                points_fn_cross, cfg.sh_deg, points, cfg.projection_samples, rng
+            )
+
+        if tree.data_format.format == "RGBA":
+            rgb = rgb.reshape(-1, cfg.samples_per_cell, tree.data_dim - 1)
+            sigma = sigma.reshape(-1, cfg.samples_per_cell, 1)
+            sigma_avg = sigma.mean(axis=1)
+            reso = 2 ** (cfg.init_grid_depth + 1)
+            approx_delta = 2.0 / reso
+            alpha = 1.0 - np.exp(-approx_delta * sigma)
+            msum = alpha.sum(axis=1)
+            rgb_avg = (rgb * alpha).sum(axis=1) / np.maximum(msum, 1e-12)
+            rgb_avg[msum[..., 0] < 1e-3] = 0
+            rgba = np.concatenate([rgb_avg, sigma_avg], axis=-1)
+        else:
+            rgba = np.concatenate([rgb, sigma], axis=-1)
+            rgba = rgba.reshape(-1, cfg.samples_per_cell, tree.data_dim).mean(axis=1)
+        tree.set_leaf_data(chunk_inds, rgba.astype(tree.data.dtype))
+    return tree

@@ -1,0 +1,171 @@
+"""Octree fine-tuning: direct SGD/Adam on leaf data through the
+differentiable renderer.
+
+Parity: octree/optimization.py:134-249 — per-train-image full-image MSE, one
+optimizer step per image (SGD lr ~1e7, the reference's scale: leaf-data
+gradients of a mean-MSE are tiny), validation-PSNR early stopping keeping
+the best snapshot.
+
+TPU design: the leaf data tensor lives in HBM as one flat [n*8, data_dim]
+array; render+grad runs in ray chunks with gradient accumulation so one jit
+with static chunk shape serves every image; updates are pure XLA (no
+optimizer state transfer off-device between steps).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from plenoctree_tpu.data.rays import generate_rays, convert_to_ndc
+from plenoctree_tpu.octree import renderer as renderer_lib
+from plenoctree_tpu.ops.metrics import compute_psnr
+from plenoctree_tpu.utils.io import host0_print as h0print, host0_tqdm
+
+
+def make_grad_fn(arrays_static, fmt, basis_dim, depth_limit, opts):
+    """(data, o, d, gt, mask) -> (sq_err_sum, grad); mask [chunk, 1] zeroes
+    the padded tail rays out of the loss."""
+
+    def loss_fn(data, o, d, gt, mask):
+        arrays = dict(arrays_static, data=data)
+        rgb = renderer_lib.render_rays(arrays, o, d, fmt, basis_dim, depth_limit, opts)
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+        return jnp.sum(((rgb - gt) ** 2) * mask)
+
+    return jax.jit(jax.value_and_grad(loss_fn))
+
+
+def make_render_fn(arrays_static, fmt, basis_dim, depth_limit, opts):
+    @jax.jit
+    def render(data, o, d):
+        arrays = dict(arrays_static, data=data)
+        return renderer_lib.render_rays(
+            arrays, o, d, fmt, basis_dim, depth_limit, opts
+        )
+
+    return render
+
+
+def _image_rays(c2w, h, w, focal, ndc):
+    rays = generate_rays(w, h, focal, np.asarray(c2w)[None])
+    o = rays.origins.reshape(-1, 3)
+    d = rays.directions.reshape(-1, 3)
+    if ndc is not None:
+        o, d = convert_to_ndc(o, d, ndc["focal"], ndc["width"], ndc["height"])
+    return o.astype(np.float32), d.astype(np.float32)
+
+
+def optimize_tree(
+    tree,
+    train_c2w,
+    train_gt,
+    test_c2w,
+    test_gt,
+    focal,
+    cfg,
+    num_epochs=80,
+    lr=1e7,
+    use_sgd=True,
+    sgd_momentum=0.0,
+    val_interval=2,
+    continue_on_decrease=False,
+    chunk=16384,
+    ndc=None,
+):
+    """Fine-tune leaf data; returns (best_tree_or_None, best_val_psnr)."""
+    h, w = train_gt[0].shape[:2]
+    arrays = renderer_lib.tree_arrays(tree)
+    data = arrays.pop("data")
+    fmt = tree.data_format.format
+    basis_dim = tree.data_format.basis_dim
+    depth_limit = int(tree.max_depth)
+    opts = renderer_lib.RenderOptions(
+        step_size=cfg.renderer_step_size,
+        max_segments=renderer_lib.default_max_segments(tree),
+    )
+    grad_fn = make_grad_fn(arrays, fmt, basis_dim, depth_limit, opts)
+    render_fn = make_render_fn(arrays, fmt, basis_dim, depth_limit, opts)
+
+    if use_sgd:
+        tx = optax.sgd(lr, momentum=sgd_momentum if sgd_momentum > 0 else None)
+    else:
+        tx = optax.adam(lr, eps=1e-8)
+    opt_state = tx.init(data)
+
+    n_pix = float(h * w * 3)
+
+    def run_test():
+        tpsnr = 0.0
+        for c2w, gt in zip(test_c2w, test_gt):
+            o, d = _image_rays(c2w, h, w, focal, ndc)
+            outs = []
+            for i in range(0, o.shape[0], chunk):
+                oo, dd = _pad_chunk(o, d, i, chunk)
+                outs.append(np.asarray(render_fn(data, oo, dd)))
+            im = np.concatenate(outs, 0)[: o.shape[0]].reshape(h, w, 3)
+            im = np.clip(im, 0.0, 1.0)
+            mse = float(((im - gt[..., :3]) ** 2).mean())
+            tpsnr += float(compute_psnr(mse))
+        return tpsnr / len(test_c2w)
+
+    best_psnr = run_test()
+    h0print("** initial val psnr", best_psnr)
+    best_data = None
+    for epoch in range(num_epochs):
+        tpsnr = 0.0
+        for c2w, gt in host0_tqdm(list(zip(train_c2w, train_gt))):
+            o, d = _image_rays(c2w, h, w, focal, ndc)
+            gtf = np.asarray(gt[..., :3], np.float32).reshape(-1, 3)
+            total_sq = 0.0
+            grad_acc = None
+            ones = jnp.ones((chunk, 1), jnp.float32)
+            for i in range(0, o.shape[0], chunk):
+                oo, dd = _pad_chunk(o, d, i, chunk)
+                gg = jnp.asarray(_pad_rows(gtf[i : i + chunk], chunk))
+                n_real = min(chunk, o.shape[0] - i)
+                if n_real < chunk:
+                    mask = np.zeros((chunk, 1), np.float32)
+                    mask[:n_real] = 1.0
+                    mask = jnp.asarray(mask)
+                else:
+                    mask = ones
+                sq, g = grad_fn(data, oo, dd, gg, mask)
+                total_sq += float(sq)
+                grad_acc = g if grad_acc is None else jax.tree.map(jnp.add, grad_acc, g)
+            mse = total_sq / n_pix
+            grad = jax.tree.map(lambda x: x / n_pix, grad_acc)
+            updates, opt_state = tx.update(grad, opt_state, data)
+            data = optax.apply_updates(data, updates)
+            tpsnr += float(compute_psnr(mse))
+        tpsnr /= len(train_c2w)
+        h0print(f"epoch {epoch}: train_psnr {tpsnr:.4f}")
+
+        if epoch % val_interval == val_interval - 1 or epoch == num_epochs - 1:
+            val_psnr = run_test()
+            h0print("** val psnr", val_psnr, "best", best_psnr)
+            if val_psnr > best_psnr:
+                best_psnr = val_psnr
+                best_data = np.asarray(data)
+            elif not continue_on_decrease:
+                h0print("Stop since overfitting")
+                break
+    if best_data is not None:
+        best_tree = tree.clone()
+        renderer_lib.write_back_data(best_tree, best_data)
+        return best_tree, best_psnr
+    return None, best_psnr
+
+
+def _pad_chunk(o, d, i, chunk):
+    oo = _pad_rows(o[i : i + chunk], chunk)
+    dd = _pad_rows(d[i : i + chunk], chunk)
+    return jnp.asarray(oo), jnp.asarray(dd)
+
+
+def _pad_rows(x, chunk):
+    if x.shape[0] == chunk:
+        return x
+    return np.pad(x, ((0, chunk - x.shape[0]), (0, 0)), mode="edge")

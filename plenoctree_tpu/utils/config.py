@@ -93,6 +93,27 @@ _flag("approx_eval_skip", 1, "evaluate every x-th test image only")
 _flag("renderer_step_size", 1e-4, "octree render step epsilon (1e-3 fast / 1e-5 high)")
 _flag("no_early_stop", False, "disable early ray termination in octree render")
 
+# Octree extraction (parity: octree/extraction.py:66-176)
+_flag("center", "0 0 0", "volume center 'x y z' or single number")
+_flag("radius", "1.5", "volume 1/2 side length, 'x y z' or single number")
+_flag("alpha_thresh", 0.01, "alpha threshold for sigma masking")
+_flag("max_refine_prop", 0.5, "max proportion of cells to refine")
+_flag("z_min", None, "discard points below this z (NDC use)")
+_flag("z_max", None, "discard points above this z (NDC use)")
+_flag("tree_branch_n", 2, "tree branch factor (2 = octree)")
+_flag("init_grid_depth", 8, "initial grid depth (2^(x+1) voxel grid)")
+_flag("samples_per_cell", 8, "3D antialiasing samples per leaf")
+_flag("is_jaxnerf_ckpt", False, "checkpoint is original JaxNeRF layout (auto-detected; kept for CLI parity)")
+_flag("masking_mode", "weight", "octree build mask source", enum=["sigma", "weight"])
+_flag("weight_thresh", 0.001, "weight threshold to keep a voxel")
+_flag("projection_samples", 10000, "rays sampled for SH projection")
+_flag("bbox_from_data", False, "use dataset bounding box (NSVF bbox.txt)")
+_flag("data_bbox_scale", 1.0, "scale factor on the dataset bbox")
+_flag("autoscale", False, "auto-scale bbox to sigma support")
+_flag("bbox_cube", False, "force the bbox to a cube")
+_flag("bbox_scale", 1.0, "final scale factor on the bbox")
+_flag("scale_alpha_thresh", 0.01, "alpha threshold during autoscale")
+
 # Parallelism (TPU-native additions; default = pure data parallel)
 _flag("mesh_shape", "", "comma ints: mesh axis sizes (data[,model]); empty = all-data")
 _flag("param_dtype", "float32", "parameter dtype")
@@ -124,7 +145,7 @@ def define_flags(extra=()):
             flags.DEFINE_bool(name, default, help_str)
         elif isinstance(default, int):
             flags.DEFINE_integer(name, default, help_str)
-        elif isinstance(default, float) or name in ("noise_std",):
+        elif isinstance(default, float) or name in ("noise_std", "z_min", "z_max"):
             flags.DEFINE_float(name, default, help_str)
         else:
             flags.DEFINE_string(name, default, help_str)
