@@ -87,8 +87,11 @@ def step1_build(cfg, tree, points_fn, dataset, mesh=None):
     grid = grid[mask]
     h0print("  masked grid", grid.shape)
     h0print("  Building octree")
-    for _ in range(cfg.init_grid_depth):
-        tree.refine_points(grid)
+    if tree.n_internal == 1:
+        tree.build_from_points(grid, depth=cfg.init_grid_depth)
+    else:
+        for _ in range(cfg.init_grid_depth):
+            tree.refine_points(grid)
     h0print(" ", tree)
     assert tree.max_depth == cfg.init_grid_depth
     return tree

@@ -197,7 +197,23 @@ class N3Tree:
         """
         t = self.world2tree(points) if world else np.asarray(points, np.float32)
         t = np.clip(t, 0.0, 1.0 - 1e-6).astype(np.float64)
-        p = points.shape[0] if points.ndim > 1 else 1
+        try:
+            from plenoctree_tpu.native import query_points_native
+
+            native = query_points_native(
+                self.child[: self.n_internal], t.astype(np.float32), self.depth_limit
+            )
+        except Exception:
+            native = None
+        if native is not None:
+            flat, depth = native
+            node = flat // (self.N**3)
+            cell = flat % (self.N**3)
+            idx = np.stack(
+                [cell // (self.N * self.N), (cell // self.N) % self.N, cell % self.N],
+                axis=-1,
+            )
+            return node, idx, depth.astype(self.parent_depth.dtype)
         node = np.zeros(t.shape[0], dtype=np.int64)
         pos = t.copy()
         for _ in range(self.depth_limit + 1):
@@ -261,6 +277,42 @@ class N3Tree:
         self.data[new_ids] = self.data[tnode, ti, tj, tk][:, None, None, None, :]
         self.n_internal += n_new
         return n_new
+
+    def build_from_points(self, points, depth=None, world=True):
+        """Build the full tree structure in one shot from occupied points.
+
+        Equivalent to `depth` rounds of refine_points (octree/extraction.py:
+        341-350) but constructed bottom-up from voxel Morton codes by the
+        native C++ builder (plenoctree_tpu.native) — one sort instead of
+        depth rounds of descend+dedup. Falls back to the refine loop when
+        the native library is unavailable. Only valid on a fresh tree.
+        """
+        depth = self.depth_limit if depth is None else depth
+        if self.n_internal != 1:
+            raise ValueError("build_from_points requires a fresh tree")
+        t = self.world2tree(points) if world else np.asarray(points, np.float32)
+        reso = self.N ** (depth + 1)
+        coords = np.clip((t * reso).astype(np.int64), 0, reso - 1)
+        try:
+            from plenoctree_tpu.native import build_octree_native
+
+            built = build_octree_native(coords.astype(np.int32), depth)
+        except Exception:
+            built = None
+        if built is None:
+            for _ in range(depth):
+                self.refine_points(points, world=world)
+            return self
+        child, parent_depth = built
+        n = child.shape[0]
+        self._ensure_capacity(n)
+        self.child[:n] = child
+        self.child[n:] = 0
+        self.parent_depth[:n] = parent_depth
+        self.parent_depth[0] = (-1, 0)
+        self.n_internal = n
+        self.data[:n] = 0
+        return self
 
     # -- leaf data access --------------------------------------------------------
     def leaf_sample_points(self, leaf_ind, samples_per_cell, rng=None):

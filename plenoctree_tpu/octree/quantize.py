@@ -26,6 +26,14 @@ def quantize_median_cut(colors, weights=None, bits=16):
     m = colors.shape[0]
     if m == 0:
         return np.zeros((0, colors.shape[1]), np.float32), np.zeros((0,), np.uint32)
+    try:
+        from plenoctree_tpu.native import median_cut_native
+
+        native = median_cut_native(colors, weights, bits)
+    except Exception:
+        native = None
+    if native is not None:
+        return native
     if weights is None or len(weights) == 0:
         weights = np.ones(m, np.float32)
     weights = np.asarray(weights, np.float32)
