@@ -48,6 +48,7 @@ def main():
         max_steps=2000000,
         compute_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
         mesh_shape=os.environ.get("BENCH_MESH", ""),
+        use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
     )
 
     mesh = make_mesh()

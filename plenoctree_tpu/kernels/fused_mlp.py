@@ -1,0 +1,376 @@
+"""Fused NeRF-trunk MLP as a single Pallas TPU kernel (fwd + custom bwd).
+
+The whole trunk (8x256 + skip + fused sigma/rgb head, ~0.5M params) fits in
+VMEM, so one kernel walks all layers per row-tile: activations never round-
+trip to HBM (XLA's layer-by-layer schedule writes/reads each [N, 256]
+activation, ~6 GB/step at the flagship batch). The backward kernel
+recomputes the forward per tile flash-style, then walks layers in reverse,
+accumulating f32 weight gradients across the sequential TPU grid.
+
+Scope: the non-view-conditioned trunk used by SH/SG models (the flagship
+path; condition branch models fall back to the flax module). Gradients are
+returned for parameters only — sample positions never need gradients in this
+framework (coarse z comes from RNG, fine z is stop_gradient'ed,
+ops/sampling.py:286).
+
+Numerics: matmuls in bf16 with f32 accumulation (MXU native), relu in f32.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512  # rows per grid step
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def pack_params(params, skip_layer=4):
+    """flax TrunkMLP params (condition=False) -> (weights list, meta).
+
+    meta: dict(depth, d_in, width, d_out, skip_layer, padded dims).
+    Weight layout per layer: trunk kernels/biases in call order, then the
+    fused head [width, 1 + rgb] built from Dense_{depth} (sigma) and
+    Dense_{depth+1} (rgb).
+    """
+    names = sorted(params.keys(), key=lambda k: int(k.split("_")[1]))
+    depth = len(names) - 2
+    kernels = [np.asarray(params[n]["kernel"]) for n in names]
+    biases = [np.asarray(params[n]["bias"]) for n in names]
+    d_in = kernels[0].shape[0]
+    width = kernels[0].shape[1]
+    w_sigma, w_rgb = kernels[depth], kernels[depth + 1]
+    b_sigma, b_rgb = biases[depth], biases[depth + 1]
+    head_w = np.concatenate([w_sigma, w_rgb], axis=1)
+    head_b = np.concatenate([b_sigma, b_rgb], axis=0)
+    d_out = head_w.shape[1]
+
+    d_in_p = _round_up(d_in, 128)
+    d_out_p = _round_up(d_out, 128)
+    ws, bs = [], []
+    for i in range(depth):
+        k, b = kernels[i], biases[i]
+        if i == 0:
+            k = np.pad(k, ((0, d_in_p - d_in), (0, 0)))
+        elif k.shape[0] == width + d_in:  # skip-concat layer
+            k = np.pad(k, ((0, d_in_p - d_in), (0, 0)))
+        ws.append(k)
+        bs.append(b)
+    if head_w.shape[0] == width + d_in:  # head reads a skip-concat input
+        head_w = np.pad(head_w, ((0, d_in_p - d_in), (0, 0)))
+    head_w = np.pad(head_w, ((0, 0), (0, d_out_p - d_out)))
+    head_b = np.pad(head_b, (0, d_out_p - d_out))
+    meta = dict(
+        depth=depth,
+        d_in=d_in,
+        width=width,
+        d_out=d_out,
+        skip_layer=skip_layer,
+        d_in_p=d_in_p,
+        d_out_p=d_out_p,
+    )
+    flat = []
+    for w, b in zip(ws, bs):
+        flat.append(jnp.asarray(w, jnp.float32))
+        flat.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
+    flat.append(jnp.asarray(head_w, jnp.float32))
+    flat.append(jnp.asarray(head_b, jnp.float32).reshape(1, -1))
+    return flat, meta
+
+
+def _layer_in_dim(i, meta):
+    if i == 0:
+        return meta["d_in_p"]
+    if i % meta["skip_layer"] == 1 and i > meta["skip_layer"]:
+        # layer right after a skip concat
+        return meta["width"] + meta["d_in_p"]
+    return meta["width"]
+
+
+def _has_skip_after(i, meta):
+    return i % meta["skip_layer"] == 0 and 0 < i < meta["depth"] - 1 or (
+        i % meta["skip_layer"] == 0 and 0 < i
+    )
+
+
+def _fwd_tile(refs_w, x, meta, save_acts=False):
+    """Run the trunk on one tile x [T, d_in_p] (f32). Returns (out, acts)."""
+    depth = meta["depth"]
+    acts = []
+    h = x
+    for i in range(depth):
+        w = refs_w[2 * i][...]
+        b = refs_w[2 * i + 1][...]
+        pre = (
+            jnp.dot(
+                h.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + b
+        )
+        h = jnp.maximum(pre, 0.0)
+        if save_acts:
+            acts.append(h)
+        if i % meta["skip_layer"] == 0 and i > 0:
+            h = jnp.concatenate([h, x], axis=-1)
+    hw = refs_w[2 * depth][...]
+    hb = refs_w[2 * depth + 1][...]
+    out = (
+        jnp.dot(
+            h.astype(jnp.bfloat16),
+            hw.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        + hb
+    )
+    return out, acts
+
+
+def _make_fwd_kernel(meta):
+    depth = meta["depth"]
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        refs_w = refs[1 : 1 + 2 * (depth + 1)]
+        out_ref = refs[1 + 2 * (depth + 1)]
+        out, _ = _fwd_tile(refs_w, x_ref[...], meta)
+        out_ref[...] = out
+
+    return kernel
+
+
+def _make_bwd_kernel(meta):
+    depth = meta["depth"]
+    skip = meta["skip_layer"]
+    width = meta["width"]
+
+    def kernel(*refs):
+        x_ref = refs[0]
+        refs_w = refs[1 : 1 + 2 * (depth + 1)]
+        g_ref = refs[1 + 2 * (depth + 1)]
+        grefs = refs[2 + 2 * (depth + 1) :]  # gradient accumulators
+
+        i_step = pl.program_id(0)
+
+        @pl.when(i_step == 0)
+        def _():
+            for gr in grefs:
+                gr[...] = jnp.zeros_like(gr)
+
+        x = x_ref[...]
+        out, acts = _fwd_tile(refs_w, x, meta, save_acts=True)
+        del out  # linear head: bwd needs only activations
+
+        g = g_ref[...]  # [T, d_out_p]
+
+        # Head grads.
+        h_last = acts[depth - 1]
+        if (depth - 1) % skip == 0 and depth - 1 > 0:
+            h_last_in = jnp.concatenate([h_last, x], axis=-1)
+        else:
+            h_last_in = h_last
+        grefs[2 * depth][...] += jnp.dot(
+            h_last_in.astype(jnp.bfloat16).T,
+            g.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        grefs[2 * depth + 1][...] += jnp.sum(g, axis=0, keepdims=True)
+        hw = refs_w[2 * depth][...]
+        dh = jnp.dot(
+            g.astype(jnp.bfloat16),
+            hw.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )
+        if (depth - 1) % skip == 0 and depth - 1 > 0:
+            dh = dh[:, :width]
+
+        # Trunk layers in reverse.
+        for i in range(depth - 1, -1, -1):
+            post = acts[i]
+            dpre = dh * (post > 0)
+            # Layer input (recomputed from saved activations).
+            if i == 0:
+                h_in = x
+            else:
+                h_in = acts[i - 1]
+                if (i - 1) % skip == 0 and i - 1 > 0:
+                    h_in = jnp.concatenate([h_in, x], axis=-1)
+            grefs[2 * i][...] += jnp.dot(
+                h_in.astype(jnp.bfloat16).T,
+                dpre.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            grefs[2 * i + 1][...] += jnp.sum(dpre, axis=0, keepdims=True)
+            if i > 0:
+                w = refs_w[2 * i][...]
+                dh = jnp.dot(
+                    dpre.astype(jnp.bfloat16),
+                    w.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32,
+                )
+                if (i - 1) % skip == 0 and i - 1 > 0:
+                    dh = dh[:, :width]
+
+    return kernel
+
+
+def _interpret():
+    # Pallas TPU kernels run interpreted on the CPU backend (tests).
+    return jax.default_backend() == "cpu"
+
+
+def _pallas_fwd(flat_w, x_p, meta):
+    n = x_p.shape[0]
+    depth = meta["depth"]
+    grid = (n // TILE,)
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat_w
+    ]
+    out = pl.pallas_call(
+        _make_fwd_kernel(meta),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, meta["d_in_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        + w_specs,
+        out_specs=pl.BlockSpec(
+            (TILE, meta["d_out_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, meta["d_out_p"]), jnp.float32),
+        interpret=_interpret(),
+    )(x_p, *flat_w)
+    return out
+
+
+def _pallas_bwd(flat_w, x_p, g_p, meta):
+    n = x_p.shape[0]
+    grid = (n // TILE,)
+    w_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat_w
+    ]
+    g_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in flat_w
+    ]
+    g_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_w]
+    grads = pl.pallas_call(
+        _make_bwd_kernel(meta),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, meta["d_in_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+        + w_specs
+        + [
+            pl.BlockSpec(
+                (TILE, meta["d_out_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=tuple(g_specs),
+        out_shape=tuple(g_shapes),
+        interpret=_interpret(),
+    )(x_p, *flat_w, g_p)
+    return grads
+
+
+def make_fused_trunk(meta):
+    """Returns fused(flat_w, x) -> out [N, d_out] with a custom VJP.
+
+    x: [N, d_in] (unpadded); flat_w: the pack_params list (padded f32).
+    """
+    d_in, d_out = meta["d_in"], meta["d_out"]
+    d_in_p, d_out_p = meta["d_in_p"], meta["d_out_p"]
+
+    def prep(x):
+        n = x.shape[0]
+        n_p = _round_up(max(n, TILE), TILE)
+        x_p = jnp.zeros((n_p, d_in_p), jnp.float32)
+        x_p = x_p.at[:n, :d_in].set(x.astype(jnp.float32))
+        return x_p, n
+
+    @jax.custom_vjp
+    def fused(flat_w, x):
+        x_p, n = prep(x)
+        out = _pallas_fwd(list(flat_w), x_p, meta)
+        return out[:n, :d_out]
+
+    def fwd(flat_w, x):
+        return fused(flat_w, x), (flat_w, x)
+
+    def bwd(res, g):
+        flat_w, x = res
+        x_p, n = prep(x)
+        n_p = x_p.shape[0]
+        g_p = jnp.zeros((n_p, d_out_p), jnp.float32)
+        g_p = g_p.at[:n, :d_out].set(g.astype(jnp.float32))
+        grads = _pallas_bwd(list(flat_w), x_p, g_p, meta)
+        return tuple(grads), jnp.zeros_like(x)
+
+    fused.defvjp(fwd, bwd)
+    # The custom_vjp pytree contract requires the primal container type
+    # (tuple) to match in bwd; normalize whatever callers pass.
+    return lambda flat_w, x: fused(tuple(flat_w), x)
+
+
+def pack_params_traced(kernels, biases, skip_layer=4):
+    """Traced (jnp) version of pack_params for use inside a jitted model:
+    padding/concat are differentiable ops, so grads from the fused kernel's
+    custom VJP flow back to the original flax params.
+
+    Args:
+      kernels/biases: lists in call order (trunk..., sigma head, rgb head).
+
+    Returns:
+      (flat list of padded f32 arrays, meta dict).
+    """
+    depth = len(kernels) - 2
+    d_in = kernels[0].shape[0]
+    width = kernels[0].shape[1]
+    head_w = jnp.concatenate([kernels[depth], kernels[depth + 1]], axis=1)
+    head_b = jnp.concatenate([biases[depth], biases[depth + 1]], axis=0)
+    d_out = head_w.shape[1]
+    d_in_p = _round_up(d_in, 128)
+    d_out_p = _round_up(d_out, 128)
+    flat = []
+    for i in range(depth):
+        k = kernels[i].astype(jnp.float32)
+        if i == 0 or k.shape[0] == width + d_in:
+            k = jnp.pad(k, ((0, d_in_p - d_in), (0, 0)))
+        flat.append(k)
+        flat.append(biases[i].astype(jnp.float32).reshape(1, -1))
+    if head_w.shape[0] == width + d_in:  # head reads a skip-concat input
+        head_w = jnp.pad(head_w, ((0, d_in_p - d_in), (0, 0)))
+    flat.append(jnp.pad(head_w.astype(jnp.float32), ((0, 0), (0, d_out_p - d_out))))
+    flat.append(
+        jnp.pad(head_b.astype(jnp.float32), (0, d_out_p - d_out)).reshape(1, -1)
+    )
+    meta = dict(
+        depth=depth,
+        d_in=d_in,
+        width=width,
+        d_out=d_out,
+        skip_layer=skip_layer,
+        d_in_p=d_in_p,
+        d_out_p=d_out_p,
+    )
+    return flat, meta
+
+
+class FusedTrunk:
+    """Convenience wrapper: bind flax TrunkMLP params, call on [N, d_in]."""
+
+    def __init__(self, params, skip_layer=4):
+        self.flat_w, self.meta = pack_params(params, skip_layer)
+        self._fn = jax.jit(make_fused_trunk(self.meta))
+
+    def __call__(self, x):
+        out = self._fn(self.flat_w, x)
+        return out[:, 1:], out[:, :1]  # (raw_rgb, raw_sigma)

@@ -38,6 +38,7 @@ class TrunkMLP(nn.Module):
     num_sigma_channels: int = 1
     condition: bool = True  # whether the view-conditioned branch exists
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused Pallas trunk kernel (non-condition path)
 
     def setup(self):
         dense = lambda width, name: nn.Dense(
@@ -93,7 +94,14 @@ class TrunkMLP(nn.Module):
         """
         feature_dim = x.shape[-1]
         num_samples = x.shape[1]
-        x = x.reshape([-1, feature_dim]).astype(self.compute_dtype)
+        x = x.reshape([-1, feature_dim])
+        if self.use_pallas and condition is None and not self.is_initializing():
+            raw_rgb, raw_sigma = self._fused_apply(x)
+            return (
+                raw_rgb.reshape([-1, num_samples, self.num_rgb_channels]),
+                raw_sigma.reshape([-1, num_samples, self.num_sigma_channels]),
+            )
+        x = x.astype(self.compute_dtype)
         x = self._trunk_features(x)
         raw_sigma = self.sigma_head(x).astype(jnp.float32)
         raw_sigma = raw_sigma.reshape([-1, num_samples, self.num_sigma_channels])
@@ -108,6 +116,37 @@ class TrunkMLP(nn.Module):
         raw_rgb = self.rgb_head(x).astype(jnp.float32)
         raw_rgb = raw_rgb.reshape([-1, num_samples, self.num_rgb_channels])
         return raw_rgb, raw_sigma
+
+    def _fused_apply(self, x):
+        """Dispatch to the fused Pallas trunk kernel (kernels/fused_mlp.py).
+
+        Materializes each layer's params by probing it with one row (shape
+        creation is identical to the reference path), then packs them with
+        traced jnp ops so the custom VJP's weight grads flow back into the
+        flax param tree.
+        """
+        from plenoctree_tpu.kernels import fused_mlp as fk
+
+        # Probe rows through the exact layer graph to bind params.
+        probe = jnp.zeros((1, x.shape[-1]), x.dtype)
+        h = probe
+        for i, layer in enumerate(self.trunk):
+            h = layer(h)
+            if i % self.skip_layer == 0 and i > 0:
+                h = jnp.concatenate([h, probe], axis=-1)
+        self.sigma_head(h)
+        self.rgb_head(h)
+
+        kernels, biases = [], []
+        for layer in list(self.trunk) + [self.sigma_head, self.rgb_head]:
+            p = layer.variables["params"]
+            kernels.append(p["kernel"])
+            biases.append(p["bias"])
+        flat, meta = fk.pack_params_traced(kernels, biases, self.skip_layer)
+        fused = fk.make_fused_trunk(meta)
+        out = fused(tuple(flat), x)
+        ns = self.num_sigma_channels
+        return out[:, ns:], out[:, :ns]
 
     def cross(self, x, condition):
         """Cross-broadcast evaluation: every point against every direction.

@@ -54,6 +54,7 @@ class NerfModel(nn.Module):
     sigma_activation: Callable[..., Any]
     legacy_posenc_order: bool
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         mlp_kwargs = dict(
@@ -70,6 +71,7 @@ class NerfModel(nn.Module):
             # call-order auto-naming for SH/SG models.
             condition=self.use_viewdirs,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
         self.MLP_0 = TrunkMLP(**mlp_kwargs)
         self.MLP_1 = TrunkMLP(**mlp_kwargs)
@@ -333,6 +335,7 @@ def construct_nerf(key, args):
         compute_dtype=jnp.bfloat16
         if str(getattr(args, "compute_dtype", "float32")) == "bfloat16"
         else jnp.float32,
+        use_pallas=bool(getattr(args, "use_pallas", False)),
     )
     key1, _ = random.split(key)
     init_variables = model.init(key1, method=model._quick_init)

@@ -1,0 +1,116 @@
+"""Pallas fused trunk kernel vs the flax reference path (interpret mode on
+the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import random
+
+from plenoctree_tpu.kernels.fused_mlp import (
+    make_fused_trunk,
+    pack_params,
+    pack_params_traced,
+)
+from plenoctree_tpu.models.mlp import TrunkMLP
+
+
+@pytest.fixture(scope="module")
+def small_mlp():
+    # Small depth but still exercising the skip concat (depth 5, skip 2).
+    mlp = TrunkMLP(
+        net_depth=5,
+        net_width=32,
+        skip_layer=2,
+        num_rgb_channels=12,
+        condition=False,
+        compute_dtype=jnp.bfloat16,
+    )
+    x3 = jnp.zeros((4, 2, 21))
+    variables = mlp.init(random.PRNGKey(0), x3)
+    return mlp, variables
+
+
+class TestFusedTrunk:
+    def test_forward_matches_flax(self, small_mlp):
+        mlp, variables = small_mlp
+        rng = np.random.default_rng(0)
+        xs = jnp.asarray(rng.normal(size=(100, 21)).astype(np.float32))
+        flat, meta = pack_params(variables["params"], skip_layer=2)
+        fused = make_fused_trunk(meta)
+        out = fused(flat, xs)
+        rgb, sigma = mlp.apply(variables, xs[:, None, :])
+        ref = jnp.concatenate([sigma.reshape(-1, 1), rgb.reshape(-1, 12)], -1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+    def test_grads_match_flax(self, small_mlp):
+        mlp, variables = small_mlp
+        rng = np.random.default_rng(1)
+        xs = jnp.asarray(rng.normal(size=(64, 21)).astype(np.float32))
+        gt = jnp.asarray(rng.normal(size=(64, 13)).astype(np.float32))
+        flat, meta = pack_params(variables["params"], skip_layer=2)
+        fused = make_fused_trunk(meta)
+
+        gf = jax.grad(lambda fw: jnp.vdot(fused(fw, xs), gt))(tuple(flat))
+
+        def loss_flax(params):
+            rgb, sg = mlp.apply({"params": params}, xs[:, None, :])
+            out = jnp.concatenate([sg.reshape(-1, 1), rgb.reshape(-1, 12)], -1)
+            return jnp.vdot(out, gt)
+
+        gx = jax.grad(loss_flax)(variables["params"])
+        names = sorted(gx.keys(), key=lambda k: int(k.split("_")[1]))
+        depth = len(names) - 2
+        for i in range(depth):
+            k = np.asarray(gx[names[i]]["kernel"])
+            kf = np.asarray(gf[2 * i])[: k.shape[0]]
+            scale = np.abs(k).max() + 1e-9
+            assert np.abs(kf - k).max() / scale < 0.05, f"layer {i} kernel"
+            b = np.asarray(gx[names[i]]["bias"])
+            bf = np.asarray(gf[2 * i + 1])[0]
+            assert np.abs(bf - b).max() / (np.abs(b).max() + 1e-9) < 0.05, f"layer {i} bias"
+        hk = np.concatenate(
+            [np.asarray(gx[names[depth]]["kernel"]), np.asarray(gx[names[depth + 1]]["kernel"])],
+            axis=1,
+        )
+        hkf = np.asarray(gf[2 * depth])[: hk.shape[0], : hk.shape[1]]
+        assert np.abs(hkf - hk).max() / (np.abs(hk).max() + 1e-9) < 0.05
+
+    def test_model_level_dispatch(self):
+        # NerfModel with use_pallas=True must agree with use_pallas=False.
+        from plenoctree_tpu.models import construct_nerf
+        from plenoctree_tpu.utils.config import default_config
+
+        base = dict(
+            net_depth=3,
+            net_width=16,
+            num_coarse_samples=4,
+            num_fine_samples=4,
+            sh_deg=1,
+            use_viewdirs=False,
+            max_deg_point=4,
+            compute_dtype="bfloat16",
+        )
+        cfg0 = default_config(**base)
+        cfg1 = default_config(use_pallas=True, **base)
+        model0, variables = construct_nerf(random.PRNGKey(0), cfg0)
+        model1, _ = construct_nerf(random.PRNGKey(0), cfg1)
+        pts = jnp.asarray(
+            np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32)
+        )
+        r0, s0 = model0.apply(variables, pts, method=model0.eval_points_raw)
+        r1, s1 = model1.apply(variables, pts, method=model1.eval_points_raw)
+        np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=2e-2, rtol=2e-2)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-2, rtol=2e-2)
+
+    def test_traced_packing_matches_numpy_packing(self, small_mlp):
+        _, variables = small_mlp
+        params = variables["params"]
+        flat_np, meta_np = pack_params(params, skip_layer=2)
+        names = sorted(params.keys(), key=lambda k: int(k.split("_")[1]))
+        kernels = [params[n]["kernel"] for n in names]
+        biases = [params[n]["bias"] for n in names]
+        flat_tr, meta_tr = pack_params_traced(kernels, biases, skip_layer=2)
+        assert meta_np == meta_tr
+        for a, b in zip(flat_np, flat_tr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
