@@ -81,6 +81,91 @@ def render_synthetic_scene(split, n_views, resolution, white_bkgd, near, far):
     return images, camtoworlds, focal
 
 
+def write_nsvf_dataset(out_dir, n_train=8, n_test=3, resolution=48, white_bkgd=True):
+    """Materialize the synthetic scene in NSVF layout (intrinsics.txt +
+    pose/ + rgb/ + bbox.txt) for NSVF-loader and --bbox_from_data tests."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(os.path.join(out_dir, "pose"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    focal = 1.1 * resolution
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = focal
+    K[0, 2] = K[1, 2] = resolution / 2
+    np.savetxt(os.path.join(out_dir, "intrinsics.txt"), K)
+    # Scene bbox: blobs live within ~[-0.9, 0.9].
+    np.savetxt(
+        os.path.join(out_dir, "bbox.txt"),
+        np.array([[-1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 0.01]]),
+    )
+    cam_trans = np.diag(np.array([1, -1, -1, 1], dtype=np.float32))
+    for split, prefix, n in (("train", "0", n_train), ("test", "1", n_test)):
+        images, c2ws, _ = render_synthetic_scene(
+            split, n, resolution, white_bkgd, near=2.0, far=6.0
+        )
+        for i in range(n):
+            name = f"{prefix}_{i:04d}"
+            img = (images[i] * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(out_dir, "rgb", name + ".png"))
+            # Loader right-multiplies by cam_trans (its own inverse).
+            np.savetxt(
+                os.path.join(out_dir, "pose", name + ".txt"),
+                c2ws[i] @ cam_trans,
+            )
+    return out_dir
+
+
+def write_llff_dataset(out_dir, n_views=10, resolution=32):
+    """Materialize a forward-facing capture in LLFF layout (images/ +
+    poses_bounds.npy) for LLFF-loader/NDC tests. Cameras look down -z from
+    z ~ 4 with small lateral offsets (forward-facing geometry)."""
+    import os
+
+    from PIL import Image
+
+    imgdir = os.path.join(out_dir, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    focal = 1.2 * resolution
+    rows = []
+    rng = np.random.default_rng(7)
+    from plenoctree_tpu.data.rays import generate_rays
+
+    from plenoctree_tpu.data.poses import viewmatrix
+
+    for i in range(n_views):
+        c2w = np.eye(4, dtype=np.float32)
+        pos = np.array(
+            [0.4 * rng.standard_normal(), 0.4 * rng.standard_normal(), 4.0],
+            dtype=np.float32,
+        )
+        # Slightly jittered back-axis so camera axes aren't all parallel
+        # (spherify's closest-point solve needs a nonsingular system).
+        back = np.array(
+            [0.05 * rng.standard_normal(), 0.05 * rng.standard_normal(), 1.0],
+            dtype=np.float32,
+        )
+        c2w[:3, :4] = viewmatrix(back, np.array([0.0, 1.0, 0.0]), pos)
+        rays = generate_rays(resolution, resolution, focal, c2w[None])
+        img = render_rays_analytic(
+            rays.origins.reshape(-1, 3), rays.directions.reshape(-1, 3), 1.0, 8.0
+        ).reshape(resolution, resolution, 3)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(imgdir, f"img_{i:03d}.png")
+        )
+        r = c2w[:3, :3]
+        # LLFF storage convention: loader maps rows [s1, -s0, s2] -> c2w.
+        stored = np.stack([-r[1], r[0], r[2]], axis=0)
+        m = np.concatenate(
+            [stored, c2w[:3, 3:4], np.array([[resolution], [resolution], [focal]])],
+            axis=1,
+        )
+        rows.append(np.concatenate([m.reshape(-1), [2.0, 7.0]]))
+    np.save(os.path.join(out_dir, "poses_bounds.npy"), np.stack(rows))
+    return out_dir
+
+
 def write_blender_dataset(out_dir, n_train=12, n_test=4, resolution=64, white_bkgd=True):
     """Materialize the synthetic scene as an on-disk Blender-format dataset
     (transforms_{split}.json + PNGs) for end-to-end CLI tests."""
