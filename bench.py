@@ -18,6 +18,7 @@ import sys
 import time
 
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_RAYS_PER_SEC = 17000.0  # JaxNeRF V100 rays/sec/GPU (see docstring)
 

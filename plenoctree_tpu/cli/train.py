@@ -82,8 +82,17 @@ def main(unused_argv):
         if reset_timer:
             t_loop_start = time.time()
             reset_timer = False
+        if cfg.profile_start_step and step == cfg.profile_start_step:
+            jax.profiler.start_trace(os.path.join(cfg.train_dir, "profile"))
         batch = shard_pytree_batch(batch, mesh)
         state, stats, lr = train_step(state, batch, rng)
+        if (
+            cfg.profile_start_step
+            and step == cfg.profile_start_step + cfg.profile_steps
+        ):
+            jax.block_until_ready(stats.loss)
+            jax.profiler.stop_trace()
+            h0print("* Profile written to", os.path.join(cfg.train_dir, "profile"))
         if jax.process_index() == 0:
             stats_trace.append(jax.device_get(stats))
         if step % cfg.gc_every == 0:

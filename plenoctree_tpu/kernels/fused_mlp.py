@@ -146,6 +146,26 @@ def _make_fwd_kernel(meta):
     return kernel
 
 
+def _dot_tn(a, b):
+    """a^T @ b via dot_general (contract rows) — no materialized transpose."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_nt(a, b):
+    """a @ b^T via dot_general (contract cols of both)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16),
+        b.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _make_bwd_kernel(meta):
     depth = meta["depth"]
     skip = meta["skip_layer"]
@@ -176,18 +196,10 @@ def _make_bwd_kernel(meta):
             h_last_in = jnp.concatenate([h_last, x], axis=-1)
         else:
             h_last_in = h_last
-        grefs[2 * depth][...] += jnp.dot(
-            h_last_in.astype(jnp.bfloat16).T,
-            g.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+        grefs[2 * depth][...] += _dot_tn(h_last_in, g)
         grefs[2 * depth + 1][...] += jnp.sum(g, axis=0, keepdims=True)
         hw = refs_w[2 * depth][...]
-        dh = jnp.dot(
-            g.astype(jnp.bfloat16),
-            hw.astype(jnp.bfloat16).T,
-            preferred_element_type=jnp.float32,
-        )
+        dh = _dot_nt(g, hw)
         if (depth - 1) % skip == 0 and depth - 1 > 0:
             dh = dh[:, :width]
 
@@ -202,19 +214,11 @@ def _make_bwd_kernel(meta):
                 h_in = acts[i - 1]
                 if (i - 1) % skip == 0 and i - 1 > 0:
                     h_in = jnp.concatenate([h_in, x], axis=-1)
-            grefs[2 * i][...] += jnp.dot(
-                h_in.astype(jnp.bfloat16).T,
-                dpre.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
+            grefs[2 * i][...] += _dot_tn(h_in, dpre)
             grefs[2 * i + 1][...] += jnp.sum(dpre, axis=0, keepdims=True)
             if i > 0:
                 w = refs_w[2 * i][...]
-                dh = jnp.dot(
-                    dpre.astype(jnp.bfloat16),
-                    w.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32,
-                )
+                dh = _dot_nt(dpre, w)
                 if (i - 1) % skip == 0 and i - 1 > 0:
                     dh = dh[:, :width]
 

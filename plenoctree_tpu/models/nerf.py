@@ -117,10 +117,14 @@ class NerfModel(nn.Module):
     def _decode_color(self, raw_rgb, viewdirs):
         """Apply the SH/SG color head against per-ray view directions."""
         if self.sh_deg >= 0:
+            precision = (
+                "default" if self.compute_dtype == jnp.bfloat16 else "highest"
+            )
             raw_rgb = eval_sh(
                 self.sh_deg,
                 raw_rgb.reshape(raw_rgb.shape[:-1] + (-1, (self.sh_deg + 1) ** 2)),
                 viewdirs,
+                precision=precision,
             )
         elif self.sg_dim > 0:
             sg_coeffs = raw_rgb.reshape(raw_rgb.shape[:-1] + (-1, self.sg_dim))

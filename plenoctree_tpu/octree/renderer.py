@@ -2,9 +2,9 @@
 
 TPU-native replacement for svox.VolumeRenderer/_VolumeRenderFunction (CUDA,
 see SURVEY.md §2.1 and octree/optimization.py:174-226): per-ray leaf-adaptive
-ray marching expressed as a fixed-length lax.scan whose every step does a
-branch-free fixed-depth tree descent (pure gathers — no data-dependent
-control flow, so XLA vectorizes it across the whole sharded ray batch).
+ray marching expressed as lax.scan whose every step does a branch-free
+fixed-depth tree descent (pure gathers — no data-dependent control flow, so
+XLA vectorizes it across the whole ray batch).
 
 Semantics match the svox renderer:
   * rays are transformed into tree coords; delta_scale converts tree-space
@@ -15,15 +15,20 @@ Semantics match the svox renderer:
   * colors decode per-ray basis (SH/SG evaluated at the world view direction,
     sigmoid-activated; RGBA raw) and sigma is clamped at 0 (svox skips
     sigma <= sigma_thresh);
-  * remaining transmittance composites onto `background_brightness`.
+  * remaining transmittance composites onto `background_brightness`;
+  * `fast` mode raises sigma/stop thresholds like svox render_persp(fast=).
 
-Gradients w.r.t. leaf data flow through the gathers (scatter-add transpose,
-generated by JAX AD); the scan body is rematerialized so residuals stay
-O(rays * carry) instead of O(rays * segments * data_dim).
+Two execution modes:
+  * training (`render_rays`): one fixed-length scan, differentiable w.r.t.
+    leaf data through the gathers (scatter-add transpose by JAX AD); the
+    step is rematerialized so residuals stay O(rays * carry);
+  * evaluation (`VolumeRenderer.render_persp`): short scan passes with a
+    host-checked global early-termination between passes — rays that leave
+    the volume or saturate opacity stop costing compute at pass granularity.
 """
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +45,7 @@ class RenderOptions:
     background_brightness: float = 1.0
     stop_thresh: float = 0.0  # transmittance early-stop (fast mode: 1e-2)
     sigma_thresh: float = 0.0  # skip leaves with sigma below (fast: 1e-2)
-    max_segments: int = 256  # scan length bound (XLA path only)
+    max_segments: int = 256  # scan length bound (training path)
 
 
 def tree_arrays(tree):
@@ -50,13 +55,12 @@ def tree_arrays(tree):
       child  [n*8]  int32 absolute child node id, -1 for leaf
       data   [n*8, data_dim] float32
       offset/invradius [3]
-      basis info (format code, basis_dim, extra_data)
+      extra_data (SG lambda/mu) or None
     """
     n = tree.n_internal
     child_rel = tree.child[:n].reshape(n, -1).astype(np.int64)
     node_ids = np.arange(n, dtype=np.int64)[:, None]
     child_abs = np.where(child_rel == 0, -1, child_rel + node_ids)
-    fmt = tree.data_format.format
     return {
         "child": jnp.asarray(child_abs.reshape(-1).astype(np.int32)),
         "data": jnp.asarray(
@@ -118,39 +122,27 @@ def _ray_basis(fmt, basis_dim, viewdirs, extra_data):
     return jnp.ones(viewdirs.shape[:-1] + (1,), viewdirs.dtype)
 
 
-def render_rays(arrays, origins, dirs, fmt, basis_dim, depth_limit, opts, sh_dim_world_dirs=None):
-    """Render rays through the octree.
-
-    Args:
-      arrays: dict from `tree_arrays` (data may be a traced/optimized array).
-      origins, dirs: [R, 3] world-space rays (dirs need not be unit).
-      fmt: "SH" | "SG" | "RGBA".
-      basis_dim: basis function count per channel.
-      depth_limit: static tree depth bound for the descent unroll.
-      opts: RenderOptions.
-
-    Returns:
-      rgb [R, 3].
-    """
-    child = arrays["child"]
-    data = arrays["data"]
+def _prep_rays(arrays, origins, dirs, fmt, basis_dim):
+    """World rays -> tree-space marching state + per-ray color basis."""
     offset = arrays["offset"]
     invradius = arrays["invradius"]
-
     viewdirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     o = origins * invradius + offset
     d = viewdirs * invradius
     delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)  # world length per tree t
     dn = d * delta_scale[..., None]  # unit in tree space
-
-    # Entry/exit of the [0,1]^3 domain.
     safe_dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
     t0 = (0.0 - o) / safe_dn
     t1 = (1.0 - o) / safe_dn
     tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0) + 1e-5
     tmax = jnp.min(jnp.maximum(t0, t1), -1) - 1e-5
-
     basis = _ray_basis(fmt, basis_dim, viewdirs, arrays.get("extra_data"))
+    return o, dn, safe_dn, delta_scale, tmin, tmax, basis
+
+
+def _make_step(child, data, rp, fmt, basis_dim, depth_limit, opts):
+    """One leaf segment: carry (t, light, accum) -> carry."""
+    o, dn, safe_dn, delta_scale, _, tmax, basis = rp
     n_channels = (data.shape[-1] - 1) // basis_dim
 
     def step(carry, _):
@@ -171,7 +163,7 @@ def render_rays(arrays, origins, dirs, fmt, basis_dim, depth_limit, opts, sh_dim
         weight = jnp.where(active, light * (1.0 - att), 0.0)
 
         coeffs = vals[..., :-1].reshape(vals.shape[:-1] + (n_channels, basis_dim))
-        raw = jnp.einsum("...ck,...k->...c", coeffs, basis, precision="highest")
+        raw = jnp.einsum("...ck,...k->...c", coeffs, basis)
         rgb = jax.nn.sigmoid(raw) if fmt in ("SH", "SG") else raw
 
         accum = accum + weight[..., None] * rgb
@@ -179,9 +171,30 @@ def render_rays(arrays, origins, dirs, fmt, basis_dim, depth_limit, opts, sh_dim
         t = jnp.where(active, t + delta_t, t)
         return (t, light, accum), None
 
+    return step, n_channels
+
+
+def render_rays(arrays, origins, dirs, fmt, basis_dim, depth_limit, opts):
+    """Render rays with one fixed-length scan (differentiable path).
+
+    Args:
+      arrays: dict from `tree_arrays` (data may be a traced/optimized array).
+      origins, dirs: [R, 3] world-space rays (dirs need not be unit).
+      fmt: "SH" | "SG" | "RGBA".
+      basis_dim: basis function count per channel.
+      depth_limit: static tree depth bound for the descent unroll.
+      opts: RenderOptions.
+
+    Returns:
+      rgb [R, 3].
+    """
+    rp = _prep_rays(arrays, origins, dirs, fmt, basis_dim)
+    step, n_channels = _make_step(
+        arrays["child"], arrays["data"], rp, fmt, basis_dim, depth_limit, opts
+    )
     init = (
-        tmin,
-        jnp.ones_like(tmin),
+        rp[4],  # tmin
+        jnp.ones_like(rp[4]),
         jnp.zeros(origins.shape[:-1] + (n_channels,), jnp.float32),
     )
     (t, light, accum), _ = jax.lax.scan(
@@ -190,15 +203,50 @@ def render_rays(arrays, origins, dirs, fmt, basis_dim, depth_limit, opts, sh_dim
     return accum + light[..., None] * opts.background_brightness
 
 
+def render_pass(arrays, origins, dirs, carry, fmt, basis_dim, depth_limit, opts, n_segments):
+    """One multi-pass chunk: advance every ray by `n_segments` leaf segments.
+
+    carry: (t, light, accum) or None to initialize. Returns (carry, alive)
+    where alive is a scalar bool (any ray still marching).
+    """
+    rp = _prep_rays(arrays, origins, dirs, fmt, basis_dim)
+    step, n_channels = _make_step(
+        arrays["child"], arrays["data"], rp, fmt, basis_dim, depth_limit, opts
+    )
+    if carry is None:
+        carry = (
+            rp[4],
+            jnp.ones_like(rp[4]),
+            jnp.zeros(origins.shape[:-1] + (n_channels,), jnp.float32),
+        )
+    carry, _ = jax.lax.scan(step, carry, None, length=n_segments)
+    t, light, _ = carry
+    stop = max(opts.stop_thresh, 1e-4)
+    alive = jnp.any((t <= rp[5]) & (light > stop))
+    return carry, alive
+
+
+def finalize_pass(carry, opts):
+    _, light, accum = carry
+    return accum + light[..., None] * opts.background_brightness
+
+
 class VolumeRenderer:
     """Convenience wrapper mirroring svox.VolumeRenderer's API surface.
 
     Holds the host tree + device arrays; `render_persp(c2w, ...)` renders a
-    full pinhole image, differentiable w.r.t. the flat leaf data when used
-    through `render_rays` with a traced `data` (see cli/optimize.py).
+    full pinhole image with pass-level early termination. The differentiable
+    path is `render_rays` with a traced `data` (see octree/optimize.py).
     """
 
-    def __init__(self, tree, step_size=1e-4, ndc=None, background_brightness=1.0):
+    def __init__(
+        self,
+        tree,
+        step_size=1e-4,
+        ndc=None,
+        background_brightness=1.0,
+        segs_per_pass=48,
+    ):
         self.tree = tree
         self.arrays = tree_arrays(tree)
         self.ndc = ndc
@@ -210,20 +258,45 @@ class VolumeRenderer:
         self.fmt = tree.data_format.format
         self.basis_dim = tree.data_format.basis_dim
         self.depth_limit = int(tree.max_depth)
-        self._render = jax.jit(
-            functools.partial(
-                render_rays,
-                fmt=self.fmt,
-                basis_dim=self.basis_dim,
-                depth_limit=self.depth_limit,
-                opts=self.opts,
+        self.segs_per_pass = segs_per_pass
+        self._pass_fns = {}
+
+    def _get_pass_fn(self, fast):
+        if fast not in self._pass_fns:
+            opts = self.opts
+            if fast:
+                opts = replace(opts, sigma_thresh=1e-2, stop_thresh=1e-2)
+            self._pass_fns[fast] = (
+                jax.jit(
+                    functools.partial(
+                        render_pass,
+                        fmt=self.fmt,
+                        basis_dim=self.basis_dim,
+                        depth_limit=self.depth_limit,
+                        opts=opts,
+                        n_segments=self.segs_per_pass,
+                    )
+                ),
+                opts,
             )
-        )
+        return self._pass_fns[fast]
+
+    def render_rays_early_stop(self, origins, dirs, fast=False):
+        """Render [R, 3] rays with pass-level early termination."""
+        pass_fn, opts = self._get_pass_fn(fast)
+        origins = jnp.asarray(origins, jnp.float32)
+        dirs = jnp.asarray(dirs, jnp.float32)
+        carry = None
+        max_passes = max(1, self.opts.max_segments // self.segs_per_pass + 1)
+        for _ in range(max_passes):
+            carry, alive = pass_fn(self.arrays, origins, dirs, carry)
+            if not bool(alive):
+                break
+        return np.asarray(finalize_pass(carry, opts))
 
     def render_persp(self, c2w, height, width, fx, fy=None, fast=False, chunk=65536):
         from plenoctree_tpu.data.rays import generate_rays
 
-        del fast  # the scan path has no early-stop specialization yet
         rays = generate_rays(width, height, fx, np.asarray(c2w)[None])
         origins = rays.origins.reshape(-1, 3)
         dirs = rays.directions.reshape(-1, 3)
@@ -233,17 +306,18 @@ class VolumeRenderer:
             origins, dirs = convert_to_ndc(
                 origins, dirs, self.ndc["focal"], self.ndc["width"], self.ndc["height"]
             )
+        n = origins.shape[0]
+        chunk = min(chunk, n)
         outs = []
-        for i in range(0, origins.shape[0], chunk):
-            outs.append(
-                np.asarray(
-                    self._render(
-                        self.arrays,
-                        jnp.asarray(origins[i : i + chunk]),
-                        jnp.asarray(dirs[i : i + chunk]),
-                    )
-                )
-            )
+        for i in range(0, n, chunk):
+            o = origins[i : i + chunk]
+            d = dirs[i : i + chunk]
+            pad = chunk - o.shape[0]
+            if pad:
+                o = np.pad(o, ((0, pad), (0, 0)), mode="edge")
+                d = np.pad(d, ((0, pad), (0, 0)), mode="edge")
+            out = self.render_rays_early_stop(o, d, fast=fast)
+            outs.append(out[: chunk - pad] if pad else out)
         return np.concatenate(outs, 0).reshape(height, width, -1)
 
 

@@ -98,13 +98,16 @@ def sh_basis(deg, dirs):
     return jnp.stack(out, axis=-1)
 
 
-def eval_sh(deg, sh, dirs):
+def eval_sh(deg, sh, dirs, precision="highest"):
     """Evaluate SH-coefficient colors at unit directions.
 
     Args:
       deg: int in [0, 4].
       sh: [..., C, (deg+1)**2] SH coefficients.
       dirs: [..., 3] unit directions, broadcastable against sh's batch dims.
+      precision: contraction precision; "highest" (f32 emulation) by default
+        for strict parity, "default" (native bf16 MXU pass) in mixed-precision
+        training where the result feeds a sigmoid anyway.
 
     Returns:
       [..., C] decoded channel values.
@@ -113,4 +116,4 @@ def eval_sh(deg, sh, dirs):
     if sh.shape[-1] != k:
         raise ValueError(f"expected {k} SH coeffs for deg {deg}, got {sh.shape[-1]}")
     basis = sh_basis(deg, dirs)
-    return jnp.einsum("...ck,...k->...c", sh, basis, precision="highest")
+    return jnp.einsum("...ck,...k->...c", sh, basis, precision=precision)

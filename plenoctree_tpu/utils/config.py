@@ -114,6 +114,11 @@ _flag("bbox_cube", False, "force the bbox to a cube")
 _flag("bbox_scale", 1.0, "final scale factor on the bbox")
 _flag("scale_alpha_thresh", 0.01, "alpha threshold during autoscale")
 
+# Profiling (TPU-native replacement for the reference's wall-clock-only
+# timings, SURVEY.md §5)
+_flag("profile_start_step", 0, "step to start a jax.profiler trace (0 = off)")
+_flag("profile_steps", 5, "number of steps to trace")
+
 # Parallelism (TPU-native additions; default = pure data parallel)
 _flag("mesh_shape", "", "comma ints: mesh axis sizes (data[,model]); empty = all-data")
 _flag("param_dtype", "float32", "parameter dtype")

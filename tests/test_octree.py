@@ -168,6 +168,44 @@ class TestRenderer:
         touched = int((jnp.abs(g).sum(-1) > 0).sum())
         assert 0 < touched < 200
 
+    def test_multipass_matches_full_scan(self, scene_tree):
+        # Pass-level early termination must not change the rendered image.
+        import jax.numpy as jnp
+
+        from plenoctree_tpu.octree.renderer import (
+            RenderOptions,
+            render_rays,
+            tree_arrays,
+        )
+
+        rng = np.random.default_rng(3)
+        origins = np.tile([[0.0, 0.0, 3.2]], (64, 1)).astype(np.float32)
+        dirs = rng.normal(scale=0.15, size=(64, 3)).astype(np.float32)
+        dirs[:, 2] = -1.0
+        r = VolumeRenderer(scene_tree, step_size=1e-3, segs_per_pass=8)
+        out_mp = r.render_rays_early_stop(origins, dirs, fast=False)
+        arrays = tree_arrays(scene_tree)
+        opts = RenderOptions(step_size=1e-3, max_segments=96)
+        out_full = np.asarray(
+            render_rays(
+                arrays,
+                jnp.asarray(origins),
+                jnp.asarray(dirs),
+                "SH",
+                1,
+                scene_tree.max_depth,
+                opts,
+            )
+        )
+        np.testing.assert_allclose(out_mp, out_full, atol=1e-4)
+
+    def test_fast_mode_close_to_exact(self, scene_tree):
+        images, c2ws, focal = render_synthetic_scene("test", 1, 24, True, 2.0, 6.0)
+        r = VolumeRenderer(scene_tree, step_size=1e-3)
+        exact = r.render_persp(c2ws[0], 24, 24, focal, fast=False)
+        fast = r.render_persp(c2ws[0], 24, 24, focal, fast=True)
+        assert np.abs(exact - fast).mean() < 0.02
+
     def test_optimization_improves_psnr(self):
         # Degrade the scene tree's colors, then fine-tune on analytic images.
         from plenoctree_tpu.octree.optimize import optimize_tree
