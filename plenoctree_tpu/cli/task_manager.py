@@ -101,6 +101,25 @@ def process_main(queue, results_path, device):
         print("[worker] done:", results, flush=True)
 
 
+def expand_tasks(spec):
+    """Expand a task-file spec into concrete per-scene tasks.
+
+    '{%}' templating over the scenes list + data/train root joining
+    (parity: octree/task_manager.py:158-167).
+    """
+    data_root = spec.get("data_root", "")
+    train_root = spec.get("train_root", "")
+    tasks = []
+    for task in spec.get("scene_tasks", []):
+        for scene in spec.get("scenes", []):
+            tasks.append(json.loads(json.dumps(task).replace("{%}", scene)))
+    tasks.extend(json.loads(json.dumps(t)) for t in spec.get("tasks", []))
+    for t in tasks:
+        t["train_dir"] = osp.join(train_root, t["train_dir"])
+        t["data_dir"] = osp.join(data_root, t["data_dir"])
+    return tasks
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("task_file", type=str, help="JSON task file")
@@ -114,19 +133,7 @@ def main(argv=None):
 
     with open(args.task_file) as f:
         spec = json.load(f)
-
-    data_root = spec.get("data_root", "")
-    train_root = spec.get("train_root", "")
-    tasks = []
-    # '{%}' scene templating over the scenes list (parity :158-167).
-    for task in spec.get("scene_tasks", []):
-        for scene in spec.get("scenes", []):
-            t = json.loads(json.dumps(task).replace("{%}", scene))
-            tasks.append(t)
-    tasks.extend(spec.get("tasks", []))
-    for t in tasks:
-        t["train_dir"] = osp.join(train_root, t["train_dir"])
-        t["data_dir"] = osp.join(data_root, t["data_dir"])
+    tasks = expand_tasks(spec)
 
     results_path = osp.join(osp.dirname(osp.abspath(args.task_file)), "results.txt")
     devices = args.gpus.split()

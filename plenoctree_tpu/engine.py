@@ -115,8 +115,20 @@ def make_train_step(model, cfg, mesh=None, donate=True):
     return jax.jit(train_step, donate_argnums=donate_args)
 
 
+def _inference_model(model):
+    """Model view for forward-only use: the fused training kernel wins on
+    the backward pass but loses to XLA's fully-fused forward, so inference
+    always runs the flax path."""
+    if getattr(model, "use_pallas", False):
+        import dataclasses
+
+        return dataclasses.replace(model, use_pallas=False)
+    return model
+
+
 def make_render_fn(model, cfg, randomized=False):
     """Jitted full-model chunk renderer: (variables, k0, k1, rays) -> ret."""
+    model = _inference_model(model)
 
     @jax.jit
     def render_fn(variables, key_0, key_1, rays):
@@ -127,6 +139,7 @@ def make_render_fn(model, cfg, randomized=False):
 
 def make_eval_points_fn(model, raw_rgb=True, coarse=False):
     """Jitted point query: (variables, points, viewdirs) -> (rgb, sigma)."""
+    model = _inference_model(model)
     method = model.eval_points_raw if raw_rgb else model.eval_points
 
     @jax.jit

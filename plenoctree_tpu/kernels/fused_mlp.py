@@ -31,13 +31,15 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def pack_params(params, skip_layer=4):
+def pack_params(params, skip_layer=4, posenc=None):
     """flax TrunkMLP params (condition=False) -> (weights list, meta).
 
-    meta: dict(depth, d_in, width, d_out, skip_layer, padded dims).
+    meta: dict(depth, d_in, width, d_out, skip_layer[, posenc]).
     Weight layout per layer: trunk kernels/biases in call order, then the
     fused head [width, 1 + rgb] built from Dense_{depth} (sigma) and
-    Dense_{depth+1} (rgb).
+    Dense_{depth+1} (rgb). With posenc=(min_deg, max_deg), the kernel takes
+    raw [N, 3] points and computes the positional encoding in-tile (the
+    encoded features never touch HBM).
     """
     names = sorted(params.keys(), key=lambda k: int(k.split("_")[1]))
     depth = len(names) - 2
@@ -51,58 +53,40 @@ def pack_params(params, skip_layer=4):
     head_b = np.concatenate([b_sigma, b_rgb], axis=0)
     d_out = head_w.shape[1]
 
-    d_in_p = _round_up(d_in, 128)
-    d_out_p = _round_up(d_out, 128)
-    ws, bs = [], []
-    for i in range(depth):
-        k, b = kernels[i], biases[i]
-        if i == 0:
-            k = np.pad(k, ((0, d_in_p - d_in), (0, 0)))
-        elif k.shape[0] == width + d_in:  # skip-concat layer
-            k = np.pad(k, ((0, d_in_p - d_in), (0, 0)))
-        ws.append(k)
-        bs.append(b)
-    if head_w.shape[0] == width + d_in:  # head reads a skip-concat input
-        head_w = np.pad(head_w, ((0, d_in_p - d_in), (0, 0)))
-    head_w = np.pad(head_w, ((0, 0), (0, d_out_p - d_out)))
-    head_b = np.pad(head_b, (0, d_out_p - d_out))
+    # No feature padding: Mosaic aligns sub-lane-width blocks internally,
+    # which beats materializing padded copies of [N, d_in] in HBM.
     meta = dict(
         depth=depth,
         d_in=d_in,
         width=width,
         d_out=d_out,
         skip_layer=skip_layer,
-        d_in_p=d_in_p,
-        d_out_p=d_out_p,
+        posenc=posenc,
+        x_dim=3 if posenc else d_in,
     )
     flat = []
-    for w, b in zip(ws, bs):
-        flat.append(jnp.asarray(w, jnp.float32))
-        flat.append(jnp.asarray(b, jnp.float32).reshape(1, -1))
+    for i in range(depth):
+        flat.append(jnp.asarray(kernels[i], jnp.float32))
+        flat.append(jnp.asarray(biases[i], jnp.float32).reshape(1, -1))
     flat.append(jnp.asarray(head_w, jnp.float32))
     flat.append(jnp.asarray(head_b, jnp.float32).reshape(1, -1))
     return flat, meta
 
 
-def _layer_in_dim(i, meta):
-    if i == 0:
-        return meta["d_in_p"]
-    if i % meta["skip_layer"] == 1 and i > meta["skip_layer"]:
-        # layer right after a skip concat
-        return meta["width"] + meta["d_in_p"]
-    return meta["width"]
-
-
-def _has_skip_after(i, meta):
-    return i % meta["skip_layer"] == 0 and 0 < i < meta["depth"] - 1 or (
-        i % meta["skip_layer"] == 0 and 0 < i
-    )
+def _posenc_tile(raw, min_deg, max_deg):
+    """In-tile positional encoding, ops/posenc.py non-legacy layout:
+    [x, sin(2^i x)..., cos(2^i x)...]."""
+    flat = jnp.concatenate([raw * (2.0**i) for i in range(min_deg, max_deg)], -1)
+    half_pi = jnp.float32(0.5 * np.pi)
+    return jnp.concatenate([raw, jnp.sin(flat), jnp.sin(flat + half_pi)], -1)
 
 
 def _fwd_tile(refs_w, x, meta, save_acts=False):
-    """Run the trunk on one tile x [T, d_in_p] (f32). Returns (out, acts)."""
+    """Run the trunk on one tile x [T, x_dim] (f32). Returns (out, acts)."""
     depth = meta["depth"]
     acts = []
+    if meta.get("posenc"):
+        x = _posenc_tile(x, *meta["posenc"])
     h = x
     for i in range(depth):
         w = refs_w[2 * i][...]
@@ -170,6 +154,7 @@ def _make_bwd_kernel(meta):
     depth = meta["depth"]
     skip = meta["skip_layer"]
     width = meta["width"]
+    meta_enc = dict(meta, posenc=None)  # bwd encodes once, reuses below
 
     def kernel(*refs):
         x_ref = refs[0]
@@ -185,7 +170,9 @@ def _make_bwd_kernel(meta):
                 gr[...] = jnp.zeros_like(gr)
 
         x = x_ref[...]
-        out, acts = _fwd_tile(refs_w, x, meta, save_acts=True)
+        if meta.get("posenc"):
+            x = _posenc_tile(x, *meta["posenc"])
+        out, acts = _fwd_tile(refs_w, x, meta_enc, save_acts=True)
         del out  # linear head: bwd needs only activations
 
         g = g_ref[...]  # [T, d_out_p]
@@ -242,13 +229,13 @@ def _pallas_fwd(flat_w, x_p, meta):
         _make_fwd_kernel(meta),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, meta["d_in_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((TILE, meta["x_dim"]), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ]
         + w_specs,
         out_specs=pl.BlockSpec(
-            (TILE, meta["d_out_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (TILE, meta["d_out"]), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, meta["d_out_p"]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, meta["d_out"]), jnp.float32),
         interpret=_interpret(),
     )(x_p, *flat_w)
     return out
@@ -270,12 +257,12 @@ def _pallas_bwd(flat_w, x_p, g_p, meta):
         _make_bwd_kernel(meta),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, meta["d_in_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, meta["x_dim"]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
         + w_specs
         + [
             pl.BlockSpec(
-                (TILE, meta["d_out_p"]), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (TILE, meta["d_out"]), lambda i: (i, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=tuple(g_specs),
@@ -291,20 +278,22 @@ def make_fused_trunk(meta):
     x: [N, d_in] (unpadded); flat_w: the pack_params list (padded f32).
     """
     d_in, d_out = meta["d_in"], meta["d_out"]
-    d_in_p, d_out_p = meta["d_in_p"], meta["d_out_p"]
 
     def prep(x):
+        # Row padding only (to a TILE multiple); features stay unpadded and
+        # Mosaic aligns them internally.
         n = x.shape[0]
         n_p = _round_up(max(n, TILE), TILE)
-        x_p = jnp.zeros((n_p, d_in_p), jnp.float32)
-        x_p = x_p.at[:n, :d_in].set(x.astype(jnp.float32))
-        return x_p, n
+        x = x.astype(jnp.float32)
+        if n_p != n:
+            x = jnp.pad(x, ((0, n_p - n), (0, 0)))
+        return x, n
 
     @jax.custom_vjp
     def fused(flat_w, x):
         x_p, n = prep(x)
         out = _pallas_fwd(list(flat_w), x_p, meta)
-        return out[:n, :d_out]
+        return out[:n]
 
     def fwd(flat_w, x):
         return fused(flat_w, x), (flat_w, x)
@@ -313,27 +302,34 @@ def make_fused_trunk(meta):
         flat_w, x = res
         x_p, n = prep(x)
         n_p = x_p.shape[0]
-        g_p = jnp.zeros((n_p, d_out_p), jnp.float32)
-        g_p = g_p.at[:n, :d_out].set(g.astype(jnp.float32))
-        grads = _pallas_bwd(list(flat_w), x_p, g_p, meta)
+        g = g.astype(jnp.float32)
+        if n_p != n:
+            g = jnp.pad(g, ((0, n_p - n), (0, 0)))
+        grads = _pallas_bwd(list(flat_w), x_p, g, meta)
         return tuple(grads), jnp.zeros_like(x)
 
     fused.defvjp(fwd, bwd)
-    # The custom_vjp pytree contract requires the primal container type
-    # (tuple) to match in bwd; normalize whatever callers pass.
-    return lambda flat_w, x: fused(tuple(flat_w), x)
+
+    def call(flat_w, x):
+        # Positions never need gradients in this framework (coarse z is RNG,
+        # fine z is stop_gradient'ed) — cutting them here erases the whole
+        # posenc backward chain from the program.
+        return fused(tuple(flat_w), jax.lax.stop_gradient(x))
+
+    return call
 
 
-def pack_params_traced(kernels, biases, skip_layer=4):
+def pack_params_traced(kernels, biases, skip_layer=4, posenc=None):
     """Traced (jnp) version of pack_params for use inside a jitted model:
-    padding/concat are differentiable ops, so grads from the fused kernel's
+    the head concat is a differentiable op, so grads from the fused kernel's
     custom VJP flow back to the original flax params.
 
     Args:
       kernels/biases: lists in call order (trunk..., sigma head, rgb head).
+      posenc: optional (min_deg, max_deg) to fuse the positional encoding.
 
     Returns:
-      (flat list of padded f32 arrays, meta dict).
+      (flat list of f32 arrays, meta dict).
     """
     depth = len(kernels) - 2
     d_in = kernels[0].shape[0]
@@ -341,29 +337,20 @@ def pack_params_traced(kernels, biases, skip_layer=4):
     head_w = jnp.concatenate([kernels[depth], kernels[depth + 1]], axis=1)
     head_b = jnp.concatenate([biases[depth], biases[depth + 1]], axis=0)
     d_out = head_w.shape[1]
-    d_in_p = _round_up(d_in, 128)
-    d_out_p = _round_up(d_out, 128)
     flat = []
     for i in range(depth):
-        k = kernels[i].astype(jnp.float32)
-        if i == 0 or k.shape[0] == width + d_in:
-            k = jnp.pad(k, ((0, d_in_p - d_in), (0, 0)))
-        flat.append(k)
+        flat.append(kernels[i].astype(jnp.float32))
         flat.append(biases[i].astype(jnp.float32).reshape(1, -1))
-    if head_w.shape[0] == width + d_in:  # head reads a skip-concat input
-        head_w = jnp.pad(head_w, ((0, d_in_p - d_in), (0, 0)))
-    flat.append(jnp.pad(head_w.astype(jnp.float32), ((0, 0), (0, d_out_p - d_out))))
-    flat.append(
-        jnp.pad(head_b.astype(jnp.float32), (0, d_out_p - d_out)).reshape(1, -1)
-    )
+    flat.append(head_w.astype(jnp.float32))
+    flat.append(head_b.astype(jnp.float32).reshape(1, -1))
     meta = dict(
         depth=depth,
         d_in=d_in,
         width=width,
         d_out=d_out,
         skip_layer=skip_layer,
-        d_in_p=d_in_p,
-        d_out_p=d_out_p,
+        posenc=posenc,
+        x_dim=3 if posenc else d_in,
     )
     return flat, meta
 

@@ -95,12 +95,6 @@ class TrunkMLP(nn.Module):
         feature_dim = x.shape[-1]
         num_samples = x.shape[1]
         x = x.reshape([-1, feature_dim])
-        if self.use_pallas and condition is None and not self.is_initializing():
-            raw_rgb, raw_sigma = self._fused_apply(x)
-            return (
-                raw_rgb.reshape([-1, num_samples, self.num_rgb_channels]),
-                raw_sigma.reshape([-1, num_samples, self.num_sigma_channels]),
-            )
         x = x.astype(self.compute_dtype)
         x = self._trunk_features(x)
         raw_sigma = self.sigma_head(x).astype(jnp.float32)
@@ -117,17 +111,25 @@ class TrunkMLP(nn.Module):
         raw_rgb = raw_rgb.reshape([-1, num_samples, self.num_rgb_channels])
         return raw_rgb, raw_sigma
 
-    def _fused_apply(self, x):
-        """Dispatch to the fused Pallas trunk kernel (kernels/fused_mlp.py).
+    def fused_enc(self, x):
+        """Fused Pallas path: trunk + heads in one kernel.
+
+        Args:
+          x: [N, d_in] posenc-encoded sample features. (Fusing posenc into
+            the kernel was tried and measured slower — 3-wide raw-position
+            lanes are hostile to the VPU layout; the [N, 63] encoded input
+            DMAs fine.)
+
+        Returns:
+          raw_rgb [N, num_rgb_channels], raw_sigma [N, num_sigma_channels].
 
         Materializes each layer's params by probing it with one row (shape
-        creation is identical to the reference path), then packs them with
-        traced jnp ops so the custom VJP's weight grads flow back into the
-        flax param tree.
+        creation identical to the reference path; XLA dead-code-eliminates
+        the probe), then packs them with traced jnp ops so the custom VJP's
+        weight grads flow back into the flax param tree.
         """
         from plenoctree_tpu.kernels import fused_mlp as fk
 
-        # Probe rows through the exact layer graph to bind params.
         probe = jnp.zeros((1, x.shape[-1]), x.dtype)
         h = probe
         for i, layer in enumerate(self.trunk):

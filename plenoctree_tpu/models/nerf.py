@@ -114,6 +114,29 @@ class NerfModel(nn.Module):
             if self.num_fine_samples > 0:
                 self.MLP_1(points_enc)
 
+    def _use_fused(self):
+        return (
+            self.use_pallas
+            and not self.use_viewdirs
+            and not self.legacy_posenc_order
+            and not self.is_initializing()
+        )
+
+    def _query_mlp(self, mlp, samples, viewdirs_enc=None):
+        """posenc + trunk on [B, S, 3] samples; fused Pallas kernel when on."""
+        b, s = samples.shape[0], samples.shape[1]
+        samples_enc = posenc(
+            samples, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
+        )
+        if self._use_fused() and viewdirs_enc is None:
+            raw_rgb, raw_sigma = mlp.fused_enc(
+                samples_enc.reshape(-1, samples_enc.shape[-1])
+            )
+            return raw_rgb.reshape(b, s, -1), raw_sigma.reshape(b, s, -1)
+        if viewdirs_enc is not None:
+            return mlp(samples_enc, viewdirs_enc)
+        return mlp(samples_enc)
+
     def _decode_color(self, raw_rgb, viewdirs):
         """Apply the SH/SG color head against per-ray view directions."""
         if self.sh_deg >= 0:
@@ -144,19 +167,21 @@ class NerfModel(nn.Module):
         Returns:
           raw_rgb [B, C*basis], raw_sigma [B, num_sigma_channels].
         """
-        points = points[None]
-        points_enc = posenc(
-            points, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
-        )
         mlp = self.MLP_0 if (coarse or self.num_fine_samples <= 0) else self.MLP_1
         if self.use_viewdirs:
             assert viewdirs is not None
+            points_enc = posenc(
+                points[None],
+                self.min_deg_point,
+                self.max_deg_point,
+                self.legacy_posenc_order,
+            )
             viewdirs_enc = posenc(
                 viewdirs[None], 0, self.deg_view, self.legacy_posenc_order
             )
             raw_rgb, raw_sigma = mlp(points_enc, viewdirs_enc)
-        else:
-            raw_rgb, raw_sigma = mlp(points_enc)
+            return raw_rgb[0], raw_sigma[0]
+        raw_rgb, raw_sigma = self._query_mlp(mlp, points[None])
         return raw_rgb[0], raw_sigma[0]
 
     def eval_points_cross(self, points, viewdirs, coarse=False):
@@ -211,18 +236,13 @@ class NerfModel(nn.Module):
             randomized,
             self.lindisp,
         )
-        samples_enc = posenc(
-            samples, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
-        )
-
         if self.use_viewdirs:
             viewdirs_enc = posenc(
                 rays.viewdirs, 0, self.deg_view, self.legacy_posenc_order
             )
-            raw_rgb, raw_sigma = self.MLP_0(samples_enc, viewdirs_enc)
         else:
             viewdirs_enc = None
-            raw_rgb, raw_sigma = self.MLP_0(samples_enc)
+        raw_rgb, raw_sigma = self._query_mlp(self.MLP_0, samples, viewdirs_enc)
 
         key, rng_0 = random.split(rng_0)
         raw_sigma = ops_sampling.add_gaussian_noise(
@@ -249,13 +269,7 @@ class NerfModel(nn.Module):
                 self.num_fine_samples,
                 randomized,
             )
-            samples_enc = posenc(
-                samples, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
-            )
-            if self.use_viewdirs:
-                raw_rgb, raw_sigma = self.MLP_1(samples_enc, viewdirs_enc)
-            else:
-                raw_rgb, raw_sigma = self.MLP_1(samples_enc)
+            raw_rgb, raw_sigma = self._query_mlp(self.MLP_1, samples, viewdirs_enc)
             key, rng_1 = random.split(rng_1)
             raw_sigma = ops_sampling.add_gaussian_noise(
                 key, raw_sigma, self.noise_std, randomized

@@ -10,18 +10,8 @@ meshes in seconds on the host.
 
 import numpy as np
 
-# Six tetrahedra covering a unit cube; corner ids are bit-coded (x|y<<1|z<<2).
-_CUBE_TETS = np.array(
-    [
-        [0, 5, 1, 6],
-        [0, 1, 3, 6],
-        [0, 3, 2, 6],
-        [0, 2, 4, 6],  # wait-free ordering; see orientation fix below
-        [0, 4, 5, 6],
-        [0, 5, 1, 6],
-    ]
-)
-# Correct standard decomposition (each tet has positive orientation):
+# Kuhn subdivision: six tetrahedra around the 0-7 main diagonal, each a
+# one-bit-at-a-time path 0 -> 7; corner ids bit-coded per _CORNER_OFFSETS.
 _CUBE_TETS = np.array(
     [
         [0, 1, 3, 7],
