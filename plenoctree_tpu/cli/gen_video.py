@@ -1,11 +1,13 @@
 """Render a spherical-orbit video from a trained NeRF-SH model.
 
-Parity: nerf_sh/gen_video.py — orbit pose generation + chunked renders +
-mp4 via imageio.
+Parity: nerf_sh/gen_video.py — same flag surface (elevation/num_views/
+height/width/camera_angle_x/intrin/radius/fps/up_axis/write_poses), same
+output layout (train_dir/video/e{elev}/frames/*.png + video.mp4), pmap
+render loop replaced by the sharded chunked engine.
 
 Usage:
   python -m nerf_sh.gen_video --config nerf_sh/config/blender \
-      --data_dir <scene> --train_dir <ckpt dir> --output video.mp4
+      --train_dir <ckpt dir> [--elevation -30 --num_views 40]
 """
 
 import functools
@@ -25,65 +27,100 @@ from plenoctree_tpu.models import get_model_state
 from plenoctree_tpu.parallel import make_mesh
 from plenoctree_tpu.types import namedtuple_map
 from plenoctree_tpu.utils import config as config_lib
+from plenoctree_tpu.utils import io as io_utils
 from plenoctree_tpu.utils.io import host0_print as h0print
 
 FLAGS = flags.FLAGS
 
-flags.DEFINE_string("output", "video.mp4", "output video path (*.mp4)")
-flags.DEFINE_integer("num_views", 40, "number of orbit views")
-flags.DEFINE_float("elevation", -30.0, "orbit elevation in degrees")
-flags.DEFINE_float("radius", 4.0, "orbit camera radius")
-flags.DEFINE_integer("height", 800, "output image height")
-flags.DEFINE_integer("width", 800, "output image width")
-flags.DEFINE_float("fps", 30.0, "output video fps")
-flags.DEFINE_float("camera_angle_x", 0.6911112070083618, "horizontal FOV (rad)")
-flags.DEFINE_integer("up_axis", 0, "up axis remap (see pose_spherical)")
-config_lib.define_flags()
+flags.DEFINE_float("elevation", -30.0, "Elevation angle (negative is above)")
+flags.DEFINE_integer("num_views", 40, "The number of views to generate.")
+flags.DEFINE_integer("height", 800, "The size of images to generate.")
+flags.DEFINE_integer("width", 800, "The size of images to generate.")
+flags.DEFINE_float(
+    "camera_angle_x", 0.7, "Camera angle in rad in x direction (sets focal)."
+)
+flags.DEFINE_string("intrin", None, "Intrinsics file; overrides camera_angle_x")
+flags.DEFINE_float("radius", 4.0, "Radius to origin of camera path.")
+flags.DEFINE_integer("fps", 20, "FPS of generated video")
+flags.DEFINE_integer(
+    "up_axis",
+    1,
+    "up axis for camera views; 1-6: Z up/Z down/Y up/Y down/X up/X down",
+)
+flags.DEFINE_string(
+    "write_poses", None, "Specify to write poses to given file (4N x 4)"
+)
+config_lib.define_flags(extra=("radius",))
 
 
 def main(unused_argv):
     import imageio
 
+    rng = random.PRNGKey(20200823)
     config_lib.update_flags(FLAGS)
     config_lib.check_flags(FLAGS, require_data=False)
     cfg = config_lib.flags_to_namespace(FLAGS)
 
-    rng = random.PRNGKey(20200823)
+    h0print("* Generating poses")
+    render_poses = np.stack(
+        [
+            pose_spherical(angle, FLAGS.elevation, FLAGS.radius, FLAGS.up_axis - 1)
+            for angle in np.linspace(-180, 180, FLAGS.num_views + 1)[:-1]
+        ],
+        0,
+    )
+    if FLAGS.write_poses:
+        np.savetxt(FLAGS.write_poses, render_poses.reshape(-1, 4))
+        print("Saved poses to", FLAGS.write_poses)
+
+    focal = 0.5 * FLAGS.width / np.tan(0.5 * FLAGS.camera_angle_x)
+    if FLAGS.intrin is not None:
+        h0print("Load focal length from intrin file")
+        K = np.loadtxt(FLAGS.intrin)
+        focal = (K[0, 0] + K[1, 1]) * 0.5
+
+    h0print("* Generating rays")
+    rays = generate_rays(FLAGS.width, FLAGS.height, focal, render_poses)
+
+    h0print("* Creating model")
     rng, key = random.split(rng)
     model, state = get_model_state(key, cfg, restore=True)
     variables = jax.device_get(state.variables)
-    h0print("* Rendering from step", int(state.step))
-
     mesh = make_mesh(cfg.mesh_shape)
     render_fn = engine.make_render_fn(model, cfg, randomized=False)
 
-    focal = 0.5 * FLAGS.width / np.tan(0.5 * FLAGS.camera_angle_x)
-    thetas = np.linspace(-180.0, 180.0, FLAGS.num_views, endpoint=False)
-    c2ws = np.stack(
-        [
-            pose_spherical(th, FLAGS.elevation, FLAGS.radius, FLAGS.up_axis)
-            for th in thetas
-        ],
-        axis=0,
-    )
+    vid_name = "e{:03}".format(int(-FLAGS.elevation * 10))
+    video_dir = os.path.join(cfg.train_dir, "video", vid_name)
+    frames_dir = os.path.join(video_dir, "frames")
+    h0print(" Saving to", video_dir)
+    os.makedirs(frames_dir, exist_ok=True)
+
     frames = []
-    for i, c2w in enumerate(c2ws):
-        h0print(f" View {i + 1}/{len(c2ws)}")
-        rays = generate_rays(FLAGS.width, FLAGS.height, focal, c2w[None])
-        rays = namedtuple_map(lambda r: r[0], rays)
-        rgb, _, _ = engine.render_image(
+    for i in range(FLAGS.num_views):
+        h0print(f"** View {i + 1}/{FLAGS.num_views}")
+        pred_color, _, _ = engine.render_image(
             functools.partial(render_fn, variables),
-            rays,
+            namedtuple_map(lambda x: x[i], rays),
             rng,
-            normalize_disp=False,
+            normalize_disp=cfg.dataset == "llff",
             chunk=cfg.chunk,
             mesh=mesh,
         )
-        frames.append((np.clip(np.asarray(rgb), 0, 1) * 255).astype(np.uint8))
+        if jax.process_index() == 0:
+            io_utils.save_img(pred_color, os.path.join(frames_dir, f"{i:04}.png"))
+            frames.append(np.asarray(pred_color))
 
     if jax.process_index() == 0:
-        h0print("* Writing", FLAGS.output)
-        imageio.mimwrite(FLAGS.output, frames, fps=FLAGS.fps, quality=8)
+        frames = np.stack(frames)
+        vid_path = os.path.join(video_dir, "video.mp4")
+        print("* Writing video", vid_path)
+        imageio.mimwrite(
+            vid_path,
+            (np.clip(frames, 0.0, 1.0) * 255).astype(np.uint8),
+            fps=FLAGS.fps,
+            quality=8,
+        )
+        print("* Done")
 
 
 if __name__ == "__main__":

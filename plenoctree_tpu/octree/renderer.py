@@ -48,7 +48,47 @@ class RenderOptions:
     max_segments: int = 256  # scan length bound (training path)
 
 
-def tree_arrays(tree):
+MAX_ACCEL_RESO = 512  # dense pointer grid cap: 512^3 u32 = 512 MB HBM
+
+
+def build_accel_grid(tree):
+    """Dense leaf-pointer grid: accel[vx, vy, vz] = (leaf_cell << 4) | depth.
+
+    XLA gathers are latency-bound (~1 row per ~7ns regardless of width), so
+    the 7-8 chained child-pointer gathers of a per-segment tree descent
+    dominate rendering. This grid collapses the descent to ONE u32 gather:
+    the containing leaf's flat cell index plus its node depth, from which the
+    leaf cube is recomputed arithmetically (corner = floor(pos/s)*s,
+    s = 2^-(depth+1)).
+
+    Returns (grid [reso^3] uint32, reso), or None when the tree is too deep.
+    """
+    if tree.max_depth + 1 > int(np.log2(MAX_ACCEL_RESO)):
+        return None
+    reso = 2 ** (tree.max_depth + 1)
+    arr = (np.arange(reso, dtype=np.float64) + 0.5) / reso
+    # Query in blocks to bound peak memory at high reso.
+    grid = np.empty(reso * reso * reso, np.uint32)
+    block = max(1, (2**22) // (reso * reso))
+    for x0 in range(0, reso, block):
+        xs = arr[x0 : x0 + block]
+        pts = np.stack(
+            np.meshgrid(xs, arr, arr, indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+        node, cell, depth = tree.query_points(pts.astype(np.float32), world=False)
+        flat = (
+            np.asarray(node) * 8
+            + cell[:, 0] * 4
+            + cell[:, 1] * 2
+            + cell[:, 2]
+        ).astype(np.uint32)
+        grid[x0 * reso * reso : x0 * reso * reso + pts.shape[0]] = (
+            flat << 4
+        ) | np.asarray(depth).astype(np.uint32)
+    return grid, reso
+
+
+def tree_arrays(tree, accel=True):
     """Flatten an N3Tree into device arrays for rendering.
 
     Returns a dict pytree:
@@ -56,12 +96,13 @@ def tree_arrays(tree):
       data   [n*8, data_dim] float32
       offset/invradius [3]
       extra_data (SG lambda/mu) or None
+      accel  [reso^3] uint32 leaf-pointer grid (or None), accel_reso
     """
     n = tree.n_internal
     child_rel = tree.child[:n].reshape(n, -1).astype(np.int64)
     node_ids = np.arange(n, dtype=np.int64)[:, None]
     child_abs = np.where(child_rel == 0, -1, child_rel + node_ids)
-    return {
+    out = {
         "child": jnp.asarray(child_abs.reshape(-1).astype(np.int32)),
         "data": jnp.asarray(
             tree.data[:n].reshape(n * tree.N**3, tree.data_dim).astype(np.float32)
@@ -71,7 +112,16 @@ def tree_arrays(tree):
         "extra_data": None
         if tree.extra_data is None
         else jnp.asarray(tree.extra_data, jnp.float32),
+        "accel": None,
+        "accel_reso": 0,
     }
+    if accel:
+        built = build_accel_grid(tree)
+        if built is not None:
+            grid, reso = built
+            out["accel"] = jnp.asarray(grid)
+            out["accel_reso"] = reso
+    return out
 
 
 def write_back_data(tree, data):
@@ -140,15 +190,32 @@ def _prep_rays(arrays, origins, dirs, fmt, basis_dim):
     return o, dn, safe_dn, delta_scale, tmin, tmax, basis
 
 
-def _make_step(child, data, rp, fmt, basis_dim, depth_limit, opts):
+def _lookup_accel(accel, reso, pos):
+    """One-gather leaf lookup via the dense pointer grid."""
+    v = jnp.clip((pos * reso).astype(jnp.int32), 0, reso - 1)
+    word = accel[(v[..., 0] * reso + v[..., 1]) * reso + v[..., 2]]
+    cell = (word >> 4).astype(jnp.int32)
+    depth = (word & 15).astype(jnp.int32)
+    size = jnp.exp2(-(depth + 1).astype(pos.dtype))
+    corner = jnp.floor(pos / size[..., None]) * size[..., None]
+    return cell, corner, size
+
+
+def _make_step(arrays, rp, fmt, basis_dim, depth_limit, opts):
     """One leaf segment: carry (t, light, accum) -> carry."""
+    child = arrays["child"]
+    data = arrays["data"]
+    accel = arrays.get("accel")
     o, dn, safe_dn, delta_scale, _, tmax, basis = rp
     n_channels = (data.shape[-1] - 1) // basis_dim
 
     def step(carry, _):
         t, light, accum = carry
         pos = jnp.clip(o + t[..., None] * dn, 0.0, 1.0 - 1e-7)
-        cell, corner, size = _descend(child, pos, depth_limit)
+        if accel is not None:
+            cell, corner, size = _lookup_accel(accel, arrays["accel_reso"], pos)
+        else:
+            cell, corner, size = _descend(child, pos, depth_limit)
 
         # Distance to the leaf cube's exit plane along the ray.
         far_planes = corner + (dn > 0) * size[..., None]
@@ -189,9 +256,7 @@ def render_rays(arrays, origins, dirs, fmt, basis_dim, depth_limit, opts):
       rgb [R, 3].
     """
     rp = _prep_rays(arrays, origins, dirs, fmt, basis_dim)
-    step, n_channels = _make_step(
-        arrays["child"], arrays["data"], rp, fmt, basis_dim, depth_limit, opts
-    )
+    step, n_channels = _make_step(arrays, rp, fmt, basis_dim, depth_limit, opts)
     init = (
         rp[4],  # tmin
         jnp.ones_like(rp[4]),
@@ -207,12 +272,10 @@ def render_pass(arrays, origins, dirs, carry, fmt, basis_dim, depth_limit, opts,
     """One multi-pass chunk: advance every ray by `n_segments` leaf segments.
 
     carry: (t, light, accum) or None to initialize. Returns (carry, alive)
-    where alive is a scalar bool (any ray still marching).
+    where alive is a per-ray bool mask (still marching).
     """
     rp = _prep_rays(arrays, origins, dirs, fmt, basis_dim)
-    step, n_channels = _make_step(
-        arrays["child"], arrays["data"], rp, fmt, basis_dim, depth_limit, opts
-    )
+    step, n_channels = _make_step(arrays, rp, fmt, basis_dim, depth_limit, opts)
     if carry is None:
         carry = (
             rp[4],
@@ -222,7 +285,7 @@ def render_pass(arrays, origins, dirs, carry, fmt, basis_dim, depth_limit, opts,
     carry, _ = jax.lax.scan(step, carry, None, length=n_segments)
     t, light, _ = carry
     stop = max(opts.stop_thresh, 1e-4)
-    alive = jnp.any((t <= rp[5]) & (light > stop))
+    alive = (t <= rp[5]) & (light > stop)
     return carry, alive
 
 
@@ -282,17 +345,52 @@ class VolumeRenderer:
         return self._pass_fns[fast]
 
     def render_rays_early_stop(self, origins, dirs, fast=False):
-        """Render [R, 3] rays with pass-level early termination."""
+        """Render [R, 3] rays with pass-level early termination + compaction.
+
+        Between passes, finished rays (left the volume / saturated opacity)
+        are compacted out on the host: the alive set shrinks to the next
+        power-of-two bucket, so later passes march only the surviving rays
+        (one compile per bucket size, cached). Typical scenes finish most
+        background rays in the first pass.
+        """
         pass_fn, opts = self._get_pass_fn(fast)
-        origins = jnp.asarray(origins, jnp.float32)
-        dirs = jnp.asarray(dirs, jnp.float32)
+        n = origins.shape[0]
+        origins = np.asarray(origins, np.float32)
+        dirs = np.asarray(dirs, np.float32)
+        out = np.zeros((n, 3), np.float32)
+        mapping = np.arange(n)  # current row -> original ray index
+        cur_o, cur_d = origins, dirs
         carry = None
         max_passes = max(1, self.opts.max_segments // self.segs_per_pass + 1)
+        min_bucket = 2048
         for _ in range(max_passes):
-            carry, alive = pass_fn(self.arrays, origins, dirs, carry)
-            if not bool(alive):
+            carry, alive = pass_fn(
+                self.arrays, jnp.asarray(cur_o), jnp.asarray(cur_d), carry
+            )
+            alive_np = np.asarray(alive)
+            n_alive = int(alive_np.sum())
+            if n_alive == 0:
                 break
-        return np.asarray(finalize_pass(carry, opts))
+            # Shrink to the next power-of-two bucket when under half full.
+            cur_n = cur_o.shape[0]
+            if n_alive <= cur_n // 2 and cur_n > min_bucket:
+                bucket = max(min_bucket, 1 << int(np.ceil(np.log2(n_alive))))
+                keep = np.nonzero(alive_np)[0]
+                # Retire finished rays' colors now.
+                done = np.nonzero(~alive_np)[0]
+                colors = np.asarray(finalize_pass(carry, opts))
+                out[mapping[done]] = colors[done]
+                # Pad the alive set to the bucket with repeats of row 0.
+                pad = bucket - keep.size
+                sel = np.concatenate([keep, np.repeat(keep[:1], pad)])
+                carry = tuple(np.asarray(c)[sel] for c in carry)
+                carry = tuple(jnp.asarray(c) for c in carry)
+                mapping = mapping[sel]
+                cur_o, cur_d = cur_o[sel], cur_d[sel]
+        colors = np.asarray(finalize_pass(carry, opts))
+        # Padded duplicate rows map to the same original ray (same color).
+        out[mapping] = colors
+        return out
 
     def render_persp(self, c2w, height, width, fx, fy=None, fast=False, chunk=65536):
         from plenoctree_tpu.data.rays import generate_rays
