@@ -39,6 +39,12 @@ config_lib.define_flags()
 
 
 def main(unused_argv):
+    # Multi-host pods: establish the jax distributed runtime before any
+    # device use (the reference relied on pmap's implicit multi-host setup;
+    # pjit over a global mesh needs explicit initialization).
+    if os.environ.get("PLENOCTREE_DISTRIBUTED"):
+        jax.distributed.initialize()
+
     rng = random.PRNGKey(20200823)
     np.random.seed(20201473 + jax.process_index())
 

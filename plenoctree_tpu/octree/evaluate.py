@@ -20,7 +20,12 @@ def eval_octree(tree, dataset, cfg, want_lpips=True, want_frames=False):
     else:
         ndc_config = None
 
-    r = VolumeRenderer(tree, step_size=cfg.renderer_step_size, ndc=ndc_config)
+    r = VolumeRenderer(
+        tree,
+        step_size=cfg.renderer_step_size,
+        ndc=ndc_config,
+        max_segments=getattr(cfg, "max_segments", 0) or None,
+    )
 
     lpips_fn = None
     if want_lpips:

@@ -84,7 +84,8 @@ def optimize_tree(
     depth_limit = int(tree.max_depth)
     opts = renderer_lib.RenderOptions(
         step_size=cfg.renderer_step_size,
-        max_segments=renderer_lib.default_max_segments(tree),
+        max_segments=getattr(cfg, "max_segments", 0)
+        or renderer_lib.default_max_segments(tree),
     )
     grad_fn = make_grad_fn(arrays, fmt, basis_dim, depth_limit, opts)
     render_fn = make_render_fn(arrays, fmt, basis_dim, depth_limit, opts)

@@ -309,6 +309,7 @@ class VolumeRenderer:
         ndc=None,
         background_brightness=1.0,
         segs_per_pass=48,
+        max_segments=None,
     ):
         self.tree = tree
         self.arrays = tree_arrays(tree)
@@ -316,7 +317,7 @@ class VolumeRenderer:
         self.opts = RenderOptions(
             step_size=step_size,
             background_brightness=background_brightness,
-            max_segments=default_max_segments(tree),
+            max_segments=max_segments or default_max_segments(tree),
         )
         self.fmt = tree.data_format.format
         self.basis_dim = tree.data_format.basis_dim

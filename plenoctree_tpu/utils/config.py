@@ -92,6 +92,7 @@ _flag("approx_eval_skip", 1, "evaluate every x-th test image only")
 # Octree renderer
 _flag("renderer_step_size", 1e-4, "octree render step epsilon (1e-3 fast / 1e-5 high)")
 _flag("no_early_stop", False, "disable early ray termination in octree render")
+_flag("max_segments", 0, "octree march segment bound (0 = auto, 3*2^depth)")
 
 # Octree extraction (parity: octree/extraction.py:66-176)
 _flag("center", "0 0 0", "volume center 'x y z' or single number")
