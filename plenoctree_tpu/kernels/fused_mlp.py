@@ -63,6 +63,7 @@ def pack_params(params, skip_layer=4, posenc=None):
         skip_layer=skip_layer,
         posenc=posenc,
         x_dim=3 if posenc else d_in,
+        n_sigma=kernels[depth].shape[1],
     )
     flat = []
     for i in range(depth):
@@ -119,13 +120,17 @@ def _fwd_tile(refs_w, x, meta, save_acts=False):
 
 def _make_fwd_kernel(meta):
     depth = meta["depth"]
+    ns = meta["n_sigma"]
 
     def kernel(*refs):
         x_ref = refs[0]
         refs_w = refs[1 : 1 + 2 * (depth + 1)]
-        out_ref = refs[1 + 2 * (depth + 1)]
+        sigma_ref = refs[1 + 2 * (depth + 1)]
+        rgb_ref = refs[2 + 2 * (depth + 1)]
         out, _ = _fwd_tile(refs_w, x_ref[...], meta)
-        out_ref[...] = out
+        # Split in-tile: separate outputs avoid HBM slice copies outside.
+        sigma_ref[...] = out[:, :ns]
+        rgb_ref[...] = out[:, ns:]
 
     return kernel
 
@@ -159,8 +164,9 @@ def _make_bwd_kernel(meta):
     def kernel(*refs):
         x_ref = refs[0]
         refs_w = refs[1 : 1 + 2 * (depth + 1)]
-        g_ref = refs[1 + 2 * (depth + 1)]
-        grefs = refs[2 + 2 * (depth + 1) :]  # gradient accumulators
+        g_sigma_ref = refs[1 + 2 * (depth + 1)]
+        g_rgb_ref = refs[2 + 2 * (depth + 1)]
+        grefs = refs[3 + 2 * (depth + 1) :]  # gradient accumulators
 
         i_step = pl.program_id(0)
 
@@ -175,7 +181,7 @@ def _make_bwd_kernel(meta):
         out, acts = _fwd_tile(refs_w, x, meta_enc, save_acts=True)
         del out  # linear head: bwd needs only activations
 
-        g = g_ref[...]  # [T, d_out_p]
+        g = jnp.concatenate([g_sigma_ref[...], g_rgb_ref[...]], axis=-1)
 
         # Head grads.
         h_last = acts[depth - 1]
@@ -225,25 +231,33 @@ def _pallas_fwd(flat_w, x_p, meta):
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in flat_w
     ]
-    out = pl.pallas_call(
+    ns = meta["n_sigma"]
+    nr = meta["d_out"] - ns
+    sigma, rgb = pl.pallas_call(
         _make_fwd_kernel(meta),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, meta["x_dim"]), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ]
         + w_specs,
-        out_specs=pl.BlockSpec(
-            (TILE, meta["d_out"]), lambda i: (i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((TILE, ns), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, nr), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, meta["d_out"]), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, ns), jnp.float32),
+            jax.ShapeDtypeStruct((n, nr), jnp.float32),
+        ),
         interpret=_interpret(),
     )(x_p, *flat_w)
-    return out
+    return sigma, rgb
 
 
-def _pallas_bwd(flat_w, x_p, g_p, meta):
+def _pallas_bwd(flat_w, x_p, g_sigma, g_rgb, meta):
     n = x_p.shape[0]
     grid = (n // TILE,)
+    ns = meta["n_sigma"]
+    nr = meta["d_out"] - ns
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in flat_w
@@ -261,30 +275,31 @@ def _pallas_bwd(flat_w, x_p, g_p, meta):
         ]
         + w_specs
         + [
-            pl.BlockSpec(
-                (TILE, meta["d_out"]), lambda i: (i, 0), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec((TILE, ns), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, nr), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(g_specs),
         out_shape=tuple(g_shapes),
         interpret=_interpret(),
-    )(x_p, *flat_w, g_p)
+    )(x_p, *flat_w, g_sigma, g_rgb)
     return grads
 
 
 def make_fused_trunk(meta):
-    """Returns fused(flat_w, x) -> out [N, d_out] with a custom VJP.
+    """Returns fused(flat_w, x) -> (sigma [N, ns], rgb [N, d_out-ns]) with a
+    custom VJP.
 
-    x: [N, d_in] (unpadded); flat_w: the pack_params list (padded f32).
+    x: [N, x_dim] (unpadded); flat_w: the pack_params list (f32). x is fed to
+    the kernel in bf16 (the kernel's matmuls are bf16 anyway — same numerics
+    as the flax compute_dtype=bfloat16 path, half the input DMA traffic).
     """
-    d_in, d_out = meta["d_in"], meta["d_out"]
 
     def prep(x):
         # Row padding only (to a TILE multiple); features stay unpadded and
         # Mosaic aligns them internally.
         n = x.shape[0]
         n_p = _round_up(max(n, TILE), TILE)
-        x = x.astype(jnp.float32)
+        x = x.astype(jnp.bfloat16)
         if n_p != n:
             x = jnp.pad(x, ((0, n_p - n), (0, 0)))
         return x, n
@@ -292,20 +307,23 @@ def make_fused_trunk(meta):
     @jax.custom_vjp
     def fused(flat_w, x):
         x_p, n = prep(x)
-        out = _pallas_fwd(list(flat_w), x_p, meta)
-        return out[:n]
+        sigma, rgb = _pallas_fwd(list(flat_w), x_p, meta)
+        return sigma[:n], rgb[:n]
 
     def fwd(flat_w, x):
         return fused(flat_w, x), (flat_w, x)
 
     def bwd(res, g):
         flat_w, x = res
+        g_sigma, g_rgb = g
         x_p, n = prep(x)
         n_p = x_p.shape[0]
-        g = g.astype(jnp.float32)
+        g_sigma = g_sigma.astype(jnp.float32)
+        g_rgb = g_rgb.astype(jnp.float32)
         if n_p != n:
-            g = jnp.pad(g, ((0, n_p - n), (0, 0)))
-        grads = _pallas_bwd(list(flat_w), x_p, g, meta)
+            g_sigma = jnp.pad(g_sigma, ((0, n_p - n), (0, 0)))
+            g_rgb = jnp.pad(g_rgb, ((0, n_p - n), (0, 0)))
+        grads = _pallas_bwd(list(flat_w), x_p, g_sigma, g_rgb, meta)
         return tuple(grads), jnp.zeros_like(x)
 
     fused.defvjp(fwd, bwd)
@@ -351,6 +369,7 @@ def pack_params_traced(kernels, biases, skip_layer=4, posenc=None):
         skip_layer=skip_layer,
         posenc=posenc,
         x_dim=3 if posenc else d_in,
+        n_sigma=kernels[depth].shape[1],
     )
     return flat, meta
 
@@ -363,5 +382,5 @@ class FusedTrunk:
         self._fn = jax.jit(make_fused_trunk(self.meta))
 
     def __call__(self, x):
-        out = self._fn(self.flat_w, x)
-        return out[:, 1:], out[:, :1]  # (raw_rgb, raw_sigma)
+        sigma, rgb = self._fn(self.flat_w, x)
+        return rgb, sigma  # (raw_rgb, raw_sigma)

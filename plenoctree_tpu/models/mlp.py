@@ -146,9 +146,8 @@ class TrunkMLP(nn.Module):
             biases.append(p["bias"])
         flat, meta = fk.pack_params_traced(kernels, biases, self.skip_layer)
         fused = fk.make_fused_trunk(meta)
-        out = fused(tuple(flat), x)
-        ns = self.num_sigma_channels
-        return out[:, ns:], out[:, :ns]
+        raw_sigma, raw_rgb = fused(tuple(flat), x)
+        return raw_rgb, raw_sigma
 
     def cross(self, x, condition):
         """Cross-broadcast evaluation: every point against every direction.

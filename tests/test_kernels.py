@@ -38,7 +38,8 @@ class TestFusedTrunk:
         xs = jnp.asarray(rng.normal(size=(100, 21)).astype(np.float32))
         flat, meta = pack_params(variables["params"], skip_layer=2)
         fused = make_fused_trunk(meta)
-        out = fused(flat, xs)
+        out_sigma, out_rgb = fused(flat, xs)
+        out = jnp.concatenate([out_sigma, out_rgb], -1)
         rgb, sigma = mlp.apply(variables, xs[:, None, :])
         ref = jnp.concatenate([sigma.reshape(-1, 1), rgb.reshape(-1, 12)], -1)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
@@ -51,7 +52,11 @@ class TestFusedTrunk:
         flat, meta = pack_params(variables["params"], skip_layer=2)
         fused = make_fused_trunk(meta)
 
-        gf = jax.grad(lambda fw: jnp.vdot(fused(fw, xs), gt))(tuple(flat))
+        def loss_fused(fw):
+            sg, rgb = fused(fw, xs)
+            return jnp.vdot(jnp.concatenate([sg, rgb], -1), gt)
+
+        gf = jax.grad(loss_fused)(tuple(flat))
 
         def loss_flax(params):
             rgb, sg = mlp.apply({"params": params}, xs[:, None, :])
