@@ -24,7 +24,6 @@ from plenoctree_tpu.data import get_dataset
 from plenoctree_tpu.models import get_model_state
 from plenoctree_tpu.ops.metrics import compute_psnr, compute_ssim
 from plenoctree_tpu.parallel import make_mesh
-from plenoctree_tpu.utils import checkpoints as ckpt_utils
 from plenoctree_tpu.utils import config as config_lib
 from plenoctree_tpu.utils import io as io_utils
 from plenoctree_tpu.utils.io import host0_print as h0print

@@ -12,8 +12,6 @@ Replaces the reference's pmap train/infer plumbing (nerf_sh/train.py:51-121,
   * lr comes from the log-lerp schedule evaluated inside the step.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

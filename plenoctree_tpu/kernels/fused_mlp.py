@@ -16,8 +16,6 @@ ops/sampling.py:286).
 Numerics: matmuls in bf16 with f32 accumulation (MXU native), relu in f32.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,8 +12,6 @@ with static chunk shape serves every image; updates are pure XLA (no
 optimizer state transfer off-device between steps).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ conv per axis which compiles efficiently on both TPU and the CPU backend the
 reference deliberately used for accuracy (train.py:172-173).
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

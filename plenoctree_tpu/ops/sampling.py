@@ -15,7 +15,6 @@ dense reductions - on TPU this beats a gather-based searchsorted for the
 small bin counts used here (<= 191).
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax, random
 

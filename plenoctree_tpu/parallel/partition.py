@@ -10,7 +10,6 @@ no hand-written collectives (SURVEY.md §2.2 TPU-native plan).
 """
 
 import jax
-import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from plenoctree_tpu.parallel.mesh import MODEL_AXIS
