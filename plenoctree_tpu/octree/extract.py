@@ -30,9 +30,39 @@ def _grid_points(reso, offset, invradius, z_min=None, z_max=None):
 
 
 def _eval_sigma(points_fn, grid, chunk, use_viewdirs, mesh=None):
-    dirs = np.zeros_like(grid) if use_viewdirs else None
-    _, sigma = engine.eval_points(points_fn, grid, dirs, chunk=chunk, mesh=mesh)
-    return sigma[..., 0]
+    """Chunked sigma-only grid evaluation.
+
+    Only the density channel leaves the device: the SH/SG coefficient output
+    (48+ channels) is discarded by the masking stages, and host<->device
+    bandwidth — not compute — dominates the 512^3 sweep otherwise.
+    """
+    import jax
+
+    @jax.jit
+    def sigma_only_jit(points, viewdirs):
+        _, sigma = points_fn(points, viewdirs)
+        return sigma[..., 0]
+
+    def sigma_only_host(points, viewdirs):
+        # Non-traceable points_fn (e.g. analytic test doubles).
+        _, sigma = points_fn(points, viewdirs)
+        return np.asarray(sigma)[..., 0]
+
+    sigma_only = sigma_only_jit
+    num = grid.shape[0]
+    out = np.empty(num, np.float32)
+    for i in range(0, num, chunk):
+        pts = grid[i : i + chunk]
+        n = pts.shape[0]
+        if n < chunk:
+            pts = np.pad(pts, ((0, chunk - n), (0, 0)), mode="edge")
+        dirs = np.zeros_like(pts) if use_viewdirs else None
+        try:
+            out[i : i + n] = np.asarray(sigma_only(pts, dirs))[:n]
+        except jax.errors.TracerArrayConversionError:
+            sigma_only = sigma_only_host
+            out[i : i + n] = sigma_only(pts, dirs)[:n]
+    return out
 
 
 def auto_scale(cfg, center, radius, points_fn, mesh=None):
@@ -118,6 +148,35 @@ def project_nerf_to_sh(points_fn_cross, sh_deg, points, projection_samples, rng=
     return coeffs.reshape(points.shape[0], -1), np.asarray(sigma)
 
 
+def _make_cell_reducer(cfg, tree, points_fn):
+    """Device-side per-cell reducer: [C, S, 3] sample points -> [C, data_dim]
+    averaged leaf payloads. Only the reduced payload crosses back to the
+    host (S x less transfer than shipping every sample)."""
+    import jax
+    import jax.numpy as jnp
+
+    is_rgba = tree.data_format.format == "RGBA"
+    reso = 2 ** (cfg.init_grid_depth + 1)
+    approx_delta = 2.0 / reso
+
+    def reduce_cells(points):
+        c, s = points.shape[0], points.shape[1]
+        rgb, sigma = points_fn(points.reshape(-1, 3), None)
+        rgb = rgb.reshape(c, s, -1)
+        sigma = sigma.reshape(c, s, 1)
+        if is_rgba:
+            # Alpha-weighted color average (octree/extraction.py:377-388).
+            sigma_avg = sigma.mean(axis=1)
+            alpha = 1.0 - jnp.exp(-approx_delta * sigma)
+            msum = alpha.sum(axis=1)
+            rgb_avg = (rgb * alpha).sum(axis=1) / jnp.maximum(msum, 1e-12)
+            rgb_avg = jnp.where(msum[..., :1] < 1e-3, 0.0, rgb_avg)
+            return jnp.concatenate([rgb_avg, sigma_avg], axis=-1)
+        return jnp.concatenate([rgb, sigma], axis=-1).mean(axis=1)
+
+    return jax.jit(reduce_cells), reduce_cells
+
+
 def step2_fill(cfg, tree, points_fn, points_fn_cross=None, mesh=None, rng=None):
     """Antialiased leaf fill: average `samples_per_cell` jittered NeRF
     samples per leaf (alpha-weighted for RGBA trees)."""
@@ -134,33 +193,36 @@ def step2_fill(cfg, tree, points_fn, points_fn_cross=None, mesh=None, rng=None):
     else:
         chunk_size = max(1, cfg.chunk // cfg.samples_per_cell)
 
+    reducer, reducer_host = (
+        _make_cell_reducer(cfg, tree, points_fn) if not cfg.use_viewdirs else (None, None)
+    )
+
     for i in range(0, leaf_ind.size, chunk_size):
         chunk_inds = leaf_ind[i : i + chunk_size]
         points = tree.leaf_sample_points(chunk_inds, cfg.samples_per_cell, rng)
-        points = points.reshape(-1, 3)
 
         if not cfg.use_viewdirs:
-            rgb, sigma = engine.eval_points(
-                points_fn, points, None, chunk=cfg.chunk, mesh=mesh
-            )
-        else:
-            rgb, sigma = project_nerf_to_sh(
-                points_fn_cross, cfg.sh_deg, points, cfg.projection_samples, rng
-            )
+            n = points.shape[0]
+            if n < chunk_size:  # pad tail to keep one compiled shape
+                points = np.pad(
+                    points, ((0, chunk_size - n), (0, 0), (0, 0)), mode="edge"
+                )
+            import jax
 
-        if tree.data_format.format == "RGBA":
-            rgb = rgb.reshape(-1, cfg.samples_per_cell, tree.data_dim - 1)
-            sigma = sigma.reshape(-1, cfg.samples_per_cell, 1)
-            sigma_avg = sigma.mean(axis=1)
-            reso = 2 ** (cfg.init_grid_depth + 1)
-            approx_delta = 2.0 / reso
-            alpha = 1.0 - np.exp(-approx_delta * sigma)
-            msum = alpha.sum(axis=1)
-            rgb_avg = (rgb * alpha).sum(axis=1) / np.maximum(msum, 1e-12)
-            rgb_avg[msum[..., 0] < 1e-3] = 0
-            rgba = np.concatenate([rgb_avg, sigma_avg], axis=-1)
-        else:
-            rgba = np.concatenate([rgb, sigma], axis=-1)
-            rgba = rgba.reshape(-1, cfg.samples_per_cell, tree.data_dim).mean(axis=1)
+            try:
+                rgba = np.asarray(reducer(points))[:n]
+            except jax.errors.TracerArrayConversionError:
+                # Non-traceable points_fn (e.g. analytic test doubles).
+                rgba = np.asarray(reducer_host(points))[:n]
+            tree.set_leaf_data(chunk_inds, rgba.astype(tree.data.dtype))
+            continue
+
+        # Vanilla-NeRF path: Monte-Carlo SH projection (host-side reduce).
+        points = points.reshape(-1, 3)
+        rgb, sigma = project_nerf_to_sh(
+            points_fn_cross, cfg.sh_deg, points, cfg.projection_samples, rng
+        )
+        rgba = np.concatenate([rgb, sigma], axis=-1)
+        rgba = rgba.reshape(-1, cfg.samples_per_cell, tree.data_dim).mean(axis=1)
         tree.set_leaf_data(chunk_inds, rgba.astype(tree.data.dtype))
     return tree
