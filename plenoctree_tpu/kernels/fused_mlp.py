@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # rows per grid step
+TILE = 1024  # rows per grid step (2048 exceeds VMEM in the bwd kernel)
 
 
 def _round_up(x, m):
