@@ -25,6 +25,12 @@ BASELINE_RAYS_PER_SEC = 17000.0  # JaxNeRF V100 rays/sec/GPU (see docstring)
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_RBG", "0") == "1":
+        # Hardware PRNG: much cheaper random bits on TPU than threefry for
+        # the per-step stratified/importance draws; streams differ but the
+        # sampling semantics are identical.
+        jax.config.update("jax_default_prng_impl", "rbg")
     import numpy as np
     from jax import random
 
