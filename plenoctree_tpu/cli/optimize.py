@@ -42,6 +42,12 @@ flags.DEFINE_bool("nosave", False, "do not save (for speed)")
 flags.DEFINE_bool(
     "continue_on_decrease", False, "keep training even if val PSNR decreases"
 )
+flags.DEFINE_integer(
+    "opt_rays_per_step",
+    0,
+    "subsample this many rays per optimizer step instead of the full image "
+    "(unbiased minibatch; 0 = reference full-image behavior)",
+)
 config_lib.define_flags()
 
 
@@ -94,6 +100,7 @@ def main(unused_argv):
         val_interval=FLAGS.val_interval,
         continue_on_decrease=FLAGS.continue_on_decrease,
         ndc=ndc,
+        rays_per_step=FLAGS.opt_rays_per_step,
     )
     if not FLAGS.nosave:
         if best_tree is not None:

@@ -72,8 +72,15 @@ def optimize_tree(
     continue_on_decrease=False,
     chunk=16384,
     ndc=None,
+    rays_per_step=0,
 ):
-    """Fine-tune leaf data; returns (best_tree_or_None, best_val_psnr)."""
+    """Fine-tune leaf data; returns (best_tree_or_None, best_val_psnr).
+
+    rays_per_step > 0 switches from the reference's full-image steps to
+    uniformly subsampled rays per step (an unbiased minibatch of the same
+    per-image MSE gradient) — the TPU-friendly mode for large images where
+    the march is gather-latency-bound.
+    """
     h, w = train_gt[0].shape[:2]
     arrays = renderer_lib.tree_arrays(tree)
     data = arrays.pop("data")
@@ -94,7 +101,6 @@ def optimize_tree(
         tx = optax.adam(lr, eps=1e-8)
     opt_state = tx.init(data)
 
-    n_pix = float(h * w * 3)
 
     def run_test():
         tpsnr = 0.0
@@ -113,11 +119,15 @@ def optimize_tree(
     best_psnr = run_test()
     h0print("** initial val psnr", best_psnr)
     best_data = None
+    ray_rng = np.random.default_rng(20200823)
     for epoch in range(num_epochs):
         tpsnr = 0.0
         for c2w, gt in host0_tqdm(list(zip(train_c2w, train_gt))):
             o, d = _image_rays(c2w, h, w, focal, ndc)
             gtf = np.asarray(gt[..., :3], np.float32).reshape(-1, 3)
+            if rays_per_step and rays_per_step < o.shape[0]:
+                sel = ray_rng.integers(0, o.shape[0], size=rays_per_step)
+                o, d, gtf = o[sel], d[sel], gtf[sel]
             total_sq = 0.0
             grad_acc = None
             ones = jnp.ones((chunk, 1), jnp.float32)
@@ -134,8 +144,11 @@ def optimize_tree(
                 sq, g = grad_fn(data, oo, dd, gg, mask)
                 total_sq += float(sq)
                 grad_acc = g if grad_acc is None else jax.tree.map(jnp.add, grad_acc, g)
-            mse = total_sq / n_pix
-            grad = jax.tree.map(lambda x: x / n_pix, grad_acc)
+            # Mean over the rays actually marched (equals the reference's
+            # full-image mean when rays_per_step is off).
+            denom = float(o.shape[0] * 3)
+            mse = total_sq / denom
+            grad = jax.tree.map(lambda x: x / denom, grad_acc)
             updates, opt_state = tx.update(grad, opt_state, data)
             data = optax.apply_updates(data, updates)
             tpsnr += float(compute_psnr(mse))
