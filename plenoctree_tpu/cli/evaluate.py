@@ -52,7 +52,10 @@ def main(unused_argv):
         import imageio
 
         h0print("Writing to", FLAGS.write_vid)
-        imageio.mimwrite(FLAGS.write_vid, frames)
+        try:
+            imageio.mimwrite(FLAGS.write_vid, frames)
+        except Exception as e:  # no ffmpeg backend in this environment
+            h0print(f"  mp4 write unavailable ({e}); use --write_images instead")
     if FLAGS.write_images is not None and len(frames):
         import imageio
 

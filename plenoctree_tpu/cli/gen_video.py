@@ -114,12 +114,15 @@ def main(unused_argv):
         frames = np.stack(frames)
         vid_path = os.path.join(video_dir, "video.mp4")
         print("* Writing video", vid_path)
-        imageio.mimwrite(
-            vid_path,
-            (np.clip(frames, 0.0, 1.0) * 255).astype(np.uint8),
-            fps=FLAGS.fps,
-            quality=8,
-        )
+        try:
+            imageio.mimwrite(
+                vid_path,
+                (np.clip(frames, 0.0, 1.0) * 255).astype(np.uint8),
+                fps=FLAGS.fps,
+                quality=8,
+            )
+        except Exception as e:  # no ffmpeg backend in this environment
+            print(f"  mp4 write unavailable ({e}); frames kept in {frames_dir}")
         print("* Done")
 
 
