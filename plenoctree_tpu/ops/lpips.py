@@ -8,9 +8,11 @@ $LPIPS_WEIGHTS_NPZ (or plenoctree_tpu/data/lpips_vgg.npz) when present and
 returns None otherwise — callers then report NaN for LPIPS, keeping
 PSNR/SSIM parity unaffected.
 
-Weights npz layout: conv kernels 'features_<i>/kernel' [kh,kw,cin,cout],
-biases 'features_<i>/bias', LPIPS heads 'lin<k>' [1,1,c,1]; a converter from
-the torch `lpips` package's state_dict is provided (convert_torch_lpips).
+Weights npz layout: conv kernels 'conv<i>/kernel' [kh,kw,cin,cout] (i = 0-based
+conv index within torchvision VGG16 `features`), biases 'conv<i>/bias', LPIPS
+linear heads 'lin<k>' [c]; a converter from the torch `lpips` package's
+state_dict is provided (convert_torch_lpips; `python -m
+plenoctree_tpu.ops.lpips out.npz` when torch+lpips with weights are present).
 """
 
 import functools
@@ -18,10 +20,12 @@ import os
 
 import numpy as np
 
-# VGG16 conv structure: (layer index in torchvision features, out channels);
-# 'M' = maxpool. LPIPS taps the relu outputs at stages 3, 8, 15, 22, 29.
+# VGG16 conv structure in torchvision `features` order; 'M' = maxpool.
+# LPIPS-VGG taps the relu outputs relu1_2/2_2/3_3/4_3/5_3, i.e. torchvision
+# `features` indices {3, 8, 15, 22, 29}, which are the relus after the
+# 2nd/4th/7th/10th/13th conv (1-based conv count).
 _VGG_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
-_TAP_AFTER = {1, 3, 6, 9, 12}  # conv counters after which features are tapped
+_TAP_AFTER = {2, 4, 7, 10, 13}  # 1-based conv count after whose relu we tap
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
@@ -118,3 +122,29 @@ def convert_torch_lpips(out_path):
         out[f"lin{i}"] = lin.model[-1].weight.detach().numpy().reshape(-1)
     np.savez(out_path, **out)
     return out_path
+
+
+def tap_structure():
+    """(torchvision_features_index, channels) for each tapped relu.
+
+    Pure bookkeeping over _VGG_CFG/_TAP_AFTER so tests can pin the
+    architecture against the documented LPIPS-VGG taps {3, 8, 15, 22, 29}.
+    """
+    taps = []
+    feat_idx = 0  # index into torchvision vgg16().features
+    conv_i = 0
+    for v in _VGG_CFG:
+        if v == "M":
+            feat_idx += 1  # MaxPool2d
+            continue
+        conv_i += 1
+        feat_idx += 2  # Conv2d + ReLU
+        if conv_i in _TAP_AFTER:
+            taps.append((feat_idx - 1, v))  # index of the ReLU just applied
+    return taps
+
+
+if __name__ == "__main__":
+    import sys
+
+    print(convert_torch_lpips(sys.argv[1] if len(sys.argv) > 1 else "lpips_vgg.npz"))
