@@ -121,6 +121,16 @@ def main(unused_argv):
     data_dim = 1 + num_rgb_channels
     h0print("data dim is", data_dim)
 
+    if cfg.tree_branch_n != 2:
+        # The tree/renderer stack is N-generic (octree/n3tree.py), but the
+        # extraction grid math is base-2 — exactly like the reference, whose
+        # own dense grid hardcodes 2**(init_grid_depth+1) even though it
+        # exposes --tree_branch_n (octree/extraction.py:100-110,246,290).
+        raise app.UsageError(
+            "--tree_branch_n != 2 is not supported by extraction (the dense "
+            "evaluation grid is base-2, as in the reference). N != 2 trees "
+            "built elsewhere can still be optimized/evaluated/compressed."
+        )
     h0print("* Creating model")
     tree = N3Tree(
         N=cfg.tree_branch_n,

@@ -67,9 +67,12 @@ class N3Tree:
         geom_resize_fact=1.0,
         dtype=np.float32,
     ):
-        if N != 2:
-            # The flat layout generalizes, but all kernels assume N=2.
-            raise NotImplementedError("Only N=2 (octree) is supported")
+        if N < 2:
+            raise ValueError(f"branch factor N must be >= 2, got {N}")
+        # N is generic (svox parity: --tree_branch_n,
+        # /root/reference/octree/extraction.py:100-105); the native C++
+        # builder/query fast paths apply only to N=2, others use the
+        # vectorized numpy fallbacks.
         self.N = N
         self.data_dim = data_dim
         self.depth_limit = depth_limit
@@ -197,14 +200,18 @@ class N3Tree:
         """
         t = self.world2tree(points) if world else np.asarray(points, np.float32)
         t = np.clip(t, 0.0, 1.0 - 1e-6).astype(np.float64)
-        try:
-            from plenoctree_tpu.native import query_points_native
+        native = None
+        if self.N == 2:
+            try:
+                from plenoctree_tpu.native import query_points_native
 
-            native = query_points_native(
-                self.child[: self.n_internal], t.astype(np.float32), self.depth_limit
-            )
-        except Exception:
-            native = None
+                native = query_points_native(
+                    self.child[: self.n_internal],
+                    t.astype(np.float32),
+                    self.depth_limit,
+                )
+            except Exception:
+                native = None
         if native is not None:
             flat, depth = native
             node = flat // (self.N**3)
@@ -293,12 +300,14 @@ class N3Tree:
         t = self.world2tree(points) if world else np.asarray(points, np.float32)
         reso = self.N ** (depth + 1)
         coords = np.clip((t * reso).astype(np.int64), 0, reso - 1)
-        try:
-            from plenoctree_tpu.native import build_octree_native
+        built = None
+        if self.N == 2:  # the native bottom-up builder is Morton/N=2 only
+            try:
+                from plenoctree_tpu.native import build_octree_native
 
-            built = build_octree_native(coords.astype(np.int32), depth)
-        except Exception:
-            built = None
+                built = build_octree_native(coords.astype(np.int32), depth)
+            except Exception:
+                built = None
         if built is None:
             for _ in range(depth):
                 self.refine_points(points, world=world)

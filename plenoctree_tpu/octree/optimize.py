@@ -6,11 +6,16 @@ optimizer step per image (SGD lr ~1e7, the reference's scale: leaf-data
 gradients of a mean-MSE are tiny), validation-PSNR early stopping keeping
 the best snapshot.
 
-TPU design: the leaf data tensor lives in HBM as one flat [n*8, data_dim]
-array; render+grad runs in ray chunks with gradient accumulation so one jit
-with static chunk shape serves every image; updates are pure XLA (no
-optimizer state transfer off-device between steps).
+TPU design (march.py): each step re-marches the rays with the CURRENT sigma
+(cheap sigma-only gathers, non-differentiable geometry — svox's CUDA
+backward likewise only flows through the cells its forward marched), then
+one differentiable shade pass gathers full data rows for the contributor
+slots only. Loss/grad accumulate on device across chunks; the host syncs a
+single scalar per image (round-1 review flagged a blocking float() per
+chunk).
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -18,33 +23,85 @@ import numpy as np
 import optax
 
 from plenoctree_tpu.data.rays import generate_rays, convert_to_ndc
+from plenoctree_tpu.octree import march as march_lib
 from plenoctree_tpu.octree import renderer as renderer_lib
 from plenoctree_tpu.ops.metrics import compute_psnr
 from plenoctree_tpu.utils.io import host0_print as h0print, host0_tqdm
 
 
-def make_grad_fn(arrays_static, fmt, basis_dim, depth_limit, opts):
-    """(data, o, d, gt, mask) -> (sq_err_sum, grad); mask [chunk, 1] zeroes
-    the padded tail rays out of the loss."""
+class TwoPhaseRenderer:
+    """March-to-completion + shade helpers shared by train/val steps."""
 
-    def loss_fn(data, o, d, gt, mask):
-        arrays = dict(arrays_static, data=data)
-        rgb = renderer_lib.render_rays(arrays, o, d, fmt, basis_dim, depth_limit, opts)
-        rgb = jnp.clip(rgb, 0.0, 1.0)
-        return jnp.sum(((rgb - gt) ** 2) * mask)
-
-    return jax.jit(jax.value_and_grad(loss_fn))
-
-
-def make_render_fn(arrays_static, fmt, basis_dim, depth_limit, opts):
-    @jax.jit
-    def render(data, o, d):
-        arrays = dict(arrays_static, data=data)
-        return renderer_lib.render_rays(
-            arrays, o, d, fmt, basis_dim, depth_limit, opts
+    def __init__(self, arrays, fmt, basis_dim, opts, K=64, segs_per_pass=32):
+        tables, meta = renderer_lib.split_arrays(arrays)
+        self.data0 = tables.pop("data")
+        self.tables = tables
+        self.meta = meta
+        self.fmt = fmt
+        self.basis_dim = basis_dim
+        self.opts = opts
+        self.K = K
+        self.segs_per_pass = segs_per_pass
+        self._march = jax.jit(
+            functools.partial(march_lib.march_pass, meta=meta, opts=opts),
+            static_argnames=("n_segments",),
+        )
+        self._alive_any = jax.jit(
+            lambda rp, carry: jnp.any(
+                march_lib.alive_mask(rp, carry, opts=opts, K=K)
+            )
+        )
+        self._sigma_of = jax.jit(lambda d: d[:, -1])
+        self._shade = jax.jit(
+            functools.partial(
+                march_lib.shade,
+                fmt=fmt,
+                basis_dim=basis_dim,
+                bg=opts.background_brightness,
+            )
         )
 
-    return render
+        def sq_loss(data, cells, dts, count, basis, gt, mask):
+            rgb = march_lib.shade(
+                data, cells, dts, count, basis, fmt, basis_dim,
+                opts.background_brightness,
+            )
+            rgb = jnp.clip(rgb, 0.0, 1.0)
+            return jnp.sum(((rgb - gt) ** 2) * mask)
+
+        self._sq_grad = jax.jit(jax.value_and_grad(sq_loss))
+
+    def prep(self, o, d):
+        return renderer_lib._prep_rays(
+            self.tables, jnp.asarray(o), jnp.asarray(d), self.fmt, self.basis_dim
+        )
+
+    def march(self, data, rp, n_rays):
+        """Run passes until no ray is alive; returns the final carry."""
+        tables = dict(self.tables, sigma=self._sigma_of(data))
+        carry = march_lib.init_carry(rp, n_rays, self.K)
+        budget = self.opts.max_segments
+        while budget > 0:
+            segs = min(self.segs_per_pass, budget)
+            budget -= segs
+            carry = self._march(tables, rp, carry, n_segments=segs)
+            if not bool(self._alive_any(rp, carry)):
+                break
+        return carry
+
+    def render(self, data, o, d):
+        rp = self.prep(o, d)
+        carry = self.march(data, rp, o.shape[0])
+        return self._shade(
+            data, carry["cells"], carry["dts"], carry["count"], rp[6]
+        )
+
+    def loss_grad(self, data, o, d, gt, mask):
+        rp = self.prep(o, d)
+        carry = self.march(data, rp, o.shape[0])
+        return self._sq_grad(
+            data, carry["cells"], carry["dts"], carry["count"], rp[6], gt, mask
+        )
 
 
 def _image_rays(c2w, h, w, focal, ndc):
@@ -83,24 +140,26 @@ def optimize_tree(
     """
     h, w = train_gt[0].shape[:2]
     arrays = renderer_lib.tree_arrays(tree)
-    data = arrays.pop("data")
-    fmt = tree.data_format.format
-    basis_dim = tree.data_format.basis_dim
-    depth_limit = int(tree.max_depth)
     opts = renderer_lib.RenderOptions(
         step_size=cfg.renderer_step_size,
         max_segments=getattr(cfg, "max_segments", 0)
         or renderer_lib.default_max_segments(tree),
     )
-    grad_fn = make_grad_fn(arrays, fmt, basis_dim, depth_limit, opts)
-    render_fn = make_render_fn(arrays, fmt, basis_dim, depth_limit, opts)
+    fmt = tree.data_format.format
+    basis_dim = tree.data_format.basis_dim
+    rend = TwoPhaseRenderer(
+        arrays, fmt, basis_dim, opts, K=getattr(cfg, "contrib_slots", 0) or 64
+    )
+    data = rend.data0
 
     if use_sgd:
         tx = optax.sgd(lr, momentum=sgd_momentum if sgd_momentum > 0 else None)
     else:
         tx = optax.adam(lr, eps=1e-8)
     opt_state = tx.init(data)
-
+    apply_updates = jax.jit(
+        lambda data, grad, opt_state, denom: _apply(tx, data, grad, opt_state, denom)
+    )
 
     def run_test():
         tpsnr = 0.0
@@ -109,7 +168,7 @@ def optimize_tree(
             outs = []
             for i in range(0, o.shape[0], chunk):
                 oo, dd = _pad_chunk(o, d, i, chunk)
-                outs.append(np.asarray(render_fn(data, oo, dd)))
+                outs.append(np.asarray(rend.render(data, oo, dd)))
             im = np.concatenate(outs, 0)[: o.shape[0]].reshape(h, w, 3)
             im = np.clip(im, 0.0, 1.0)
             mse = float(((im - gt[..., :3]) ** 2).mean())
@@ -120,6 +179,7 @@ def optimize_tree(
     h0print("** initial val psnr", best_psnr)
     best_data = None
     ray_rng = np.random.default_rng(20200823)
+    ones = jnp.ones((chunk, 1), jnp.float32)
     for epoch in range(num_epochs):
         tpsnr = 0.0
         for c2w, gt in host0_tqdm(list(zip(train_c2w, train_gt))):
@@ -128,9 +188,8 @@ def optimize_tree(
             if rays_per_step and rays_per_step < o.shape[0]:
                 sel = ray_rng.integers(0, o.shape[0], size=rays_per_step)
                 o, d, gtf = o[sel], d[sel], gtf[sel]
-            total_sq = 0.0
+            sq_total = None
             grad_acc = None
-            ones = jnp.ones((chunk, 1), jnp.float32)
             for i in range(0, o.shape[0], chunk):
                 oo, dd = _pad_chunk(o, d, i, chunk)
                 gg = jnp.asarray(_pad_rows(gtf[i : i + chunk], chunk))
@@ -141,17 +200,15 @@ def optimize_tree(
                     mask = jnp.asarray(mask)
                 else:
                     mask = ones
-                sq, g = grad_fn(data, oo, dd, gg, mask)
-                total_sq += float(sq)
+                sq, g = rend.loss_grad(data, oo, dd, gg, mask)
+                # Device-side accumulation: no host sync inside the loop.
+                sq_total = sq if sq_total is None else sq_total + sq
                 grad_acc = g if grad_acc is None else jax.tree.map(jnp.add, grad_acc, g)
             # Mean over the rays actually marched (equals the reference's
             # full-image mean when rays_per_step is off).
             denom = float(o.shape[0] * 3)
-            mse = total_sq / denom
-            grad = jax.tree.map(lambda x: x / denom, grad_acc)
-            updates, opt_state = tx.update(grad, opt_state, data)
-            data = optax.apply_updates(data, updates)
-            tpsnr += float(compute_psnr(mse))
+            data, opt_state = apply_updates(data, grad_acc, opt_state, denom)
+            tpsnr += float(compute_psnr(float(sq_total) / denom))  # 1 sync/image
         tpsnr /= len(train_c2w)
         h0print(f"epoch {epoch}: train_psnr {tpsnr:.4f}")
 
@@ -169,6 +226,12 @@ def optimize_tree(
         renderer_lib.write_back_data(best_tree, best_data)
         return best_tree, best_psnr
     return None, best_psnr
+
+
+def _apply(tx, data, grad, opt_state, denom):
+    grad = jax.tree.map(lambda x: x / denom, grad)
+    updates, opt_state = tx.update(grad, opt_state, data)
+    return optax.apply_updates(data, updates), opt_state
 
 
 def _pad_chunk(o, d, i, chunk):

@@ -48,65 +48,116 @@ class RenderOptions:
     max_segments: int = 256  # scan length bound (training path)
 
 
-MAX_ACCEL_RESO = 512  # dense pointer grid cap: 512^3 u32 = 512 MB HBM
+MAX_ACCEL_RESO = 512  # hard cap on grid side length
+ACCEL_BYTES_BUDGET = 160 * 1024 * 1024  # HBM budget for the dense i32 grid
+# Gather cost on this chip RISES with table size (measured ~9 ns/row at
+# 8 MB vs ~59 ns/row at 235 MB — scripts/bench_gather.py), so a smaller
+# grid + short in-kernel descent usually beats a full-depth grid anyway.
 
 
-def build_accel_grid(tree):
-    """Dense leaf-pointer grid: accel[vx, vy, vz] = (leaf_cell << 4) | depth.
+def accel_grid_level(tree, bytes_budget=None):
+    """Choose the accel grid level k (reso = N**k) within the HBM budget.
 
-    XLA gathers are latency-bound (~1 row per ~7ns regardless of width), so
-    the 7-8 chained child-pointer gathers of a per-segment tree descent
-    dominate rendering. This grid collapses the descent to ONE u32 gather:
-    the containing leaf's flat cell index plus its node depth, from which the
-    leaf cube is recomputed arithmetically (corner = floor(pos/s)*s,
-    s = 2^-(depth+1)).
-
-    Returns (grid [reso^3] uint32, reso), or None when the tree is too deep.
+    Full depth needs k = max_depth + 1; when that grid exceeds the budget or
+    MAX_ACCEL_RESO, drop k until it fits — voxels that still contain deeper
+    subtrees then store an internal-node pointer and the renderer finishes
+    with a short per-step descent (see _march step in march.py).
     """
-    if tree.max_depth + 1 > int(np.log2(MAX_ACCEL_RESO)):
-        return None
-    reso = 2 ** (tree.max_depth + 1)
+    bytes_budget = bytes_budget or ACCEL_BYTES_BUDGET
+    k = tree.max_depth + 1
+    while k > 1 and (
+        tree.N**k > MAX_ACCEL_RESO or 4 * tree.N ** (3 * k) > bytes_budget
+    ):
+        k -= 1
+    return k
+
+
+def build_accel_grid(tree, bytes_budget=None):
+    """Dense pointer grid: one i32 gather replaces the per-step tree descent.
+
+    Word encoding (i32), indexed by voxel at reso = N**k:
+      >= 0: containing LEAF — (flat_cell_index << 6) | leaf_node_depth
+      <  0: voxel holds a deeper subtree — -(node_id + 1); the renderer
+            descends from that node for the remaining depth_limit+1-k levels.
+
+    Returns (grid [reso^3] int32, reso, k).
+    """
+    k = accel_grid_level(tree, bytes_budget)
+    reso = tree.N**k
+    n_cells = tree.n_internal * tree.N**3
+    if n_cells >= 1 << 25:
+        raise ValueError(
+            f"tree has {n_cells} cells; leaf words need cell < 2^25 "
+            "(shrink the tree or extend the accel word to int64)"
+        )
     arr = (np.arange(reso, dtype=np.float64) + 0.5) / reso
-    # Query in blocks to bound peak memory at high reso.
-    grid = np.empty(reso * reso * reso, np.uint32)
+    grid = np.empty(reso * reso * reso, np.int32)
     block = max(1, (2**22) // (reso * reso))
     for x0 in range(0, reso, block):
         xs = arr[x0 : x0 + block]
         pts = np.stack(
             np.meshgrid(xs, arr, arr, indexing="ij"), axis=-1
         ).reshape(-1, 3)
-        node, cell, depth = tree.query_points(pts.astype(np.float32), world=False)
+        node, cell, depth, internal = _query_capped(tree, pts, k)
         flat = (
-            np.asarray(node) * 8
-            + cell[:, 0] * 4
-            + cell[:, 1] * 2
+            node * tree.N**3
+            + (cell[:, 0] * tree.N + cell[:, 1]) * tree.N
             + cell[:, 2]
-        ).astype(np.uint32)
-        grid[x0 * reso * reso : x0 * reso * reso + pts.shape[0]] = (
-            flat << 4
-        ) | np.asarray(depth).astype(np.uint32)
-    return grid, reso
+        )
+        word = np.where(
+            internal, -(node + 1), (flat << 6) | depth.astype(np.int64)
+        ).astype(np.int32)
+        grid[x0 * reso * reso : x0 * reso * reso + pts.shape[0]] = word
+    return grid, reso, k
 
 
-def tree_arrays(tree, accel=True):
+def _query_capped(tree, pts, k):
+    """Locate each point's leaf, descending at most k-1 node levels.
+
+    Returns (node, cell_ijk, depth, internal): when `internal` is set, the
+    point's voxel (at reso N**k) contains a subtree rooted at child node
+    `node` (depth k) rather than a single leaf cell.
+    """
+    N = tree.N
+    t = np.clip(np.asarray(pts, np.float64), 0.0, 1.0 - 1e-9)
+    node = np.zeros(t.shape[0], dtype=np.int64)
+    pos = t.copy()
+    for _ in range(max(k - 1, 0)):
+        idx = np.minimum((pos * N).astype(np.int64), N - 1)
+        rel = tree.child[node, idx[:, 0], idx[:, 1], idx[:, 2]].astype(np.int64)
+        live = rel != 0
+        node = np.where(live, node + rel, node)
+        pos = np.where(live[:, None], pos * N - idx, pos)
+    idx = np.minimum((pos * N).astype(np.int64), N - 1)
+    rel = tree.child[node, idx[:, 0], idx[:, 1], idx[:, 2]].astype(np.int64)
+    internal = rel != 0
+    depth = tree.parent_depth[node, 1].astype(np.int64)
+    return np.where(internal, node + rel, node), idx, depth, internal
+
+
+def tree_arrays(tree, accel=True, bytes_budget=None):
     """Flatten an N3Tree into device arrays for rendering.
 
     Returns a dict pytree:
-      child  [n*8]  int32 absolute child node id, -1 for leaf
-      data   [n*8, data_dim] float32
+      child  [n*N^3]  int32 absolute child node id, -1 for leaf
+      data   [n*N^3, data_dim] float32 (color coeffs + sigma)
+      sigma  [n*N^3] float32 — sigma-only marching table; phase-1 marching
+             gathers this instead of the ~50x wider `data` rows (gather cost
+             scales with table footprint on this chip)
       offset/invradius [3]
       extra_data (SG lambda/mu) or None
-      accel  [reso^3] uint32 leaf-pointer grid (or None), accel_reso
+      accel  [reso^3] int32 pointer grid (see build_accel_grid), accel_reso,
+      accel_level k, N, depth_limit (static ints)
     """
     n = tree.n_internal
     child_rel = tree.child[:n].reshape(n, -1).astype(np.int64)
     node_ids = np.arange(n, dtype=np.int64)[:, None]
     child_abs = np.where(child_rel == 0, -1, child_rel + node_ids)
+    data = tree.data[:n].reshape(n * tree.N**3, tree.data_dim).astype(np.float32)
     out = {
         "child": jnp.asarray(child_abs.reshape(-1).astype(np.int32)),
-        "data": jnp.asarray(
-            tree.data[:n].reshape(n * tree.N**3, tree.data_dim).astype(np.float32)
-        ),
+        "data": jnp.asarray(data),
+        "sigma": jnp.asarray(np.ascontiguousarray(data[:, -1])),
         "offset": jnp.asarray(tree.offset, jnp.float32),
         "invradius": jnp.asarray(tree.invradius, jnp.float32),
         "extra_data": None
@@ -114,13 +165,15 @@ def tree_arrays(tree, accel=True):
         else jnp.asarray(tree.extra_data, jnp.float32),
         "accel": None,
         "accel_reso": 0,
+        "accel_level": 0,
+        "N": int(tree.N),
+        "depth_limit": int(tree.max_depth),
     }
     if accel:
-        built = build_accel_grid(tree)
-        if built is not None:
-            grid, reso = built
-            out["accel"] = jnp.asarray(grid)
-            out["accel_reso"] = reso
+        grid, reso, k = build_accel_grid(tree, bytes_budget)
+        out["accel"] = jnp.asarray(grid)
+        out["accel_reso"] = reso
+        out["accel_level"] = k
     return out
 
 
@@ -131,30 +184,36 @@ def write_back_data(tree, data):
     return tree
 
 
-def _descend(child, pos, depth_limit):
-    """Branch-free fixed-depth descent. pos in [0,1)^3.
+def _descend(child, pos, levels, N=2, node=None, corner=None, size=None):
+    """Branch-free fixed-depth descent over `levels` levels. pos in [0,1)^3.
 
-    Returns (cell_flat_index, cube_corner, cube_size) of the containing leaf.
+    Optionally starts from a given (node, corner, size) state — used by the
+    budgeted accel grid, whose internal-pointer voxels leave a short residual
+    descent (march.py). Returns (cell_flat_index, cube_corner, cube_size) of
+    the containing leaf. Generic in branch factor N (svox parity:
+    /root/reference/octree/extraction.py:100-105 exposes --tree_branch_n).
     """
-    node = jnp.zeros(pos.shape[:-1], jnp.int32)
-    corner = jnp.zeros_like(pos)
-    size = jnp.ones(pos.shape[:-1], pos.dtype)
-    local = pos
-    cell = jnp.zeros(pos.shape[:-1], jnp.int32)
-    done = jnp.zeros(pos.shape[:-1], bool)
-    for _ in range(depth_limit + 1):
-        idx = jnp.clip((local * 2).astype(jnp.int32), 0, 1)
-        flat = node * 8 + idx[..., 0] * 4 + idx[..., 1] * 2 + idx[..., 2]
+    shape = pos.shape[:-1]
+    node = jnp.zeros(shape, jnp.int32) if node is None else node
+    corner = jnp.zeros_like(pos) if corner is None else corner
+    size = jnp.ones(shape, pos.dtype) if size is None else size
+    local = (pos - corner) / size[..., None]
+    cell = jnp.zeros(shape, jnp.int32)
+    done = jnp.zeros(shape, bool)
+    n3 = N * N * N
+    for _ in range(levels):
+        idx = jnp.clip((local * N).astype(jnp.int32), 0, N - 1)
+        flat = node * n3 + (idx[..., 0] * N + idx[..., 1]) * N + idx[..., 2]
         nxt = child[flat]
         is_leaf = nxt < 0
         newly_done = is_leaf & ~done
         cell = jnp.where(newly_done, flat, cell)
         corner = jnp.where(
-            (~done)[..., None], corner + idx * (size[..., None] * 0.5), corner
+            (~done)[..., None], corner + idx * (size[..., None] / N), corner
         )
-        size = jnp.where(done, size, size * 0.5)
+        size = jnp.where(done, size, size / N)
         node = jnp.where(is_leaf | done, node, nxt)
-        local = jnp.where((is_leaf | done)[..., None], local, local * 2 - idx)
+        local = jnp.where((is_leaf | done)[..., None], local, local * N - idx)
         done = done | is_leaf
     return cell, corner, size
 
@@ -190,32 +249,95 @@ def _prep_rays(arrays, origins, dirs, fmt, basis_dim):
     return o, dn, safe_dn, delta_scale, tmin, tmax, basis
 
 
-def _lookup_accel(accel, reso, pos):
-    """One-gather leaf lookup via the dense pointer grid."""
+@dataclass(frozen=True)
+class TreeMeta:
+    """Static tree facts, kept out of traced pytrees (jit-hashable)."""
+
+    N: int
+    depth_limit: int
+    accel_reso: int
+    accel_level: int
+
+
+def split_arrays(arrays):
+    """(tables, meta): device-array-only pytree + hashable static meta."""
+    meta = TreeMeta(
+        arrays["N"],
+        arrays["depth_limit"],
+        arrays["accel_reso"],
+        arrays["accel_level"],
+    )
+    tables = {
+        k: v
+        for k, v in arrays.items()
+        if k not in ("N", "depth_limit", "accel_reso", "accel_level")
+    }
+    return tables, meta
+
+
+def _cell_size_from_depth(depth, N, dtype):
+    e = -(depth + 1).astype(dtype)
+    if N == 2:
+        return jnp.exp2(e)
+    return jnp.exp(e * float(np.log(N)))
+
+
+def _locate(tables, meta, pos):
+    """(cell, corner, size) of the leaf containing pos, via the accel grid.
+
+    One i32 gather for voxels whose leaf is at/above the grid level; a short
+    residual `_descend` (depth_limit+1-k gathers) where the tree is deeper
+    than the budgeted grid. Without a grid, a full-depth descent.
+    """
+    arrays = tables
+    N = meta.N
+    depth_limit = meta.depth_limit
+    accel = arrays.get("accel")
+    if accel is None:
+        return _descend(arrays["child"], pos, depth_limit + 1, N)
+    reso = meta.accel_reso
+    k = meta.accel_level
     v = jnp.clip((pos * reso).astype(jnp.int32), 0, reso - 1)
     word = accel[(v[..., 0] * reso + v[..., 1]) * reso + v[..., 2]]
-    cell = (word >> 4).astype(jnp.int32)
-    depth = (word & 15).astype(jnp.int32)
-    size = jnp.exp2(-(depth + 1).astype(pos.dtype))
+    cell = (word >> 6).astype(jnp.int32)
+    depth = (word & 63).astype(jnp.int32)
+    size = _cell_size_from_depth(depth, N, pos.dtype)
     corner = jnp.floor(pos / size[..., None]) * size[..., None]
-    return cell, corner, size
+    residual = depth_limit + 1 - k
+    if residual <= 0:
+        return cell, corner, size
+    # Voxels holding subtrees: word < 0 encodes -(node+1) at level k.
+    vsize = jnp.full(pos.shape[:-1], 1.0 / reso, pos.dtype)
+    vcorner = v.astype(pos.dtype) / reso
+    dcell, dcorner, dsize = _descend(
+        arrays["child"],
+        pos,
+        residual,
+        N,
+        node=jnp.where(word < 0, -word - 1, 0),
+        corner=vcorner,
+        size=vsize,
+    )
+    is_int = word < 0
+    return (
+        jnp.where(is_int, dcell, cell),
+        jnp.where(is_int[..., None], dcorner, corner),
+        jnp.where(is_int, dsize, size),
+    )
 
 
 def _make_step(arrays, rp, fmt, basis_dim, depth_limit, opts):
     """One leaf segment: carry (t, light, accum) -> carry."""
-    child = arrays["child"]
+    del depth_limit  # static tree facts now live in arrays
     data = arrays["data"]
-    accel = arrays.get("accel")
+    tables, meta = split_arrays(arrays)
     o, dn, safe_dn, delta_scale, _, tmax, basis = rp
     n_channels = (data.shape[-1] - 1) // basis_dim
 
     def step(carry, _):
         t, light, accum = carry
         pos = jnp.clip(o + t[..., None] * dn, 0.0, 1.0 - 1e-7)
-        if accel is not None:
-            cell, corner, size = _lookup_accel(accel, arrays["accel_reso"], pos)
-        else:
-            cell, corner, size = _descend(child, pos, depth_limit)
+        cell, corner, size = _locate(tables, meta, pos)
 
         # Distance to the leaf cube's exit plane along the ray.
         far_planes = corner + (dn > 0) * size[..., None]
@@ -268,38 +390,14 @@ def render_rays(arrays, origins, dirs, fmt, basis_dim, depth_limit, opts):
     return accum + light[..., None] * opts.background_brightness
 
 
-def render_pass(arrays, origins, dirs, carry, fmt, basis_dim, depth_limit, opts, n_segments):
-    """One multi-pass chunk: advance every ray by `n_segments` leaf segments.
-
-    carry: (t, light, accum) or None to initialize. Returns (carry, alive)
-    where alive is a per-ray bool mask (still marching).
-    """
-    rp = _prep_rays(arrays, origins, dirs, fmt, basis_dim)
-    step, n_channels = _make_step(arrays, rp, fmt, basis_dim, depth_limit, opts)
-    if carry is None:
-        carry = (
-            rp[4],
-            jnp.ones_like(rp[4]),
-            jnp.zeros(origins.shape[:-1] + (n_channels,), jnp.float32),
-        )
-    carry, _ = jax.lax.scan(step, carry, None, length=n_segments)
-    t, light, _ = carry
-    stop = max(opts.stop_thresh, 1e-4)
-    alive = (t <= rp[5]) & (light > stop)
-    return carry, alive
-
-
-def finalize_pass(carry, opts):
-    _, light, accum = carry
-    return accum + light[..., None] * opts.background_brightness
-
-
 class VolumeRenderer:
     """Convenience wrapper mirroring svox.VolumeRenderer's API surface.
 
     Holds the host tree + device arrays; `render_persp(c2w, ...)` renders a
-    full pinhole image with pass-level early termination. The differentiable
-    path is `render_rays` with a traced `data` (see octree/optimize.py).
+    full pinhole image through the two-phase deferred pipeline (march.py)
+    with pass-level early termination + ray compaction. The differentiable
+    path is march + shade with a traced `data` (see octree/optimize.py);
+    `render_rays` above is the single-scan parity oracle.
     """
 
     def __init__(
@@ -310,9 +408,11 @@ class VolumeRenderer:
         background_brightness=1.0,
         segs_per_pass=48,
         max_segments=None,
+        contrib_slots=64,
+        accel_bytes_budget=None,
     ):
         self.tree = tree
-        self.arrays = tree_arrays(tree)
+        self.arrays = tree_arrays(tree, bytes_budget=accel_bytes_budget)
         self.ndc = ndc
         self.opts = RenderOptions(
             step_size=step_size,
@@ -323,75 +423,34 @@ class VolumeRenderer:
         self.basis_dim = tree.data_format.basis_dim
         self.depth_limit = int(tree.max_depth)
         self.segs_per_pass = segs_per_pass
-        self._pass_fns = {}
+        self.contrib_slots = contrib_slots
+        self._deferred = {}
 
-    def _get_pass_fn(self, fast):
-        if fast not in self._pass_fns:
+    def _get_deferred(self, fast):
+        if fast not in self._deferred:
+            from plenoctree_tpu.octree.march import DeferredRenderer
+
             opts = self.opts
             if fast:
                 opts = replace(opts, sigma_thresh=1e-2, stop_thresh=1e-2)
-            self._pass_fns[fast] = (
-                jax.jit(
-                    functools.partial(
-                        render_pass,
-                        fmt=self.fmt,
-                        basis_dim=self.basis_dim,
-                        depth_limit=self.depth_limit,
-                        opts=opts,
-                        n_segments=self.segs_per_pass,
-                    )
-                ),
+            self._deferred[fast] = DeferredRenderer(
+                self.arrays,
+                self.fmt,
+                self.basis_dim,
                 opts,
+                K=self.contrib_slots,
             )
-        return self._pass_fns[fast]
+        return self._deferred[fast]
 
     def render_rays_early_stop(self, origins, dirs, fast=False):
-        """Render [R, 3] rays with pass-level early termination + compaction.
-
-        Between passes, finished rays (left the volume / saturated opacity)
-        are compacted out on the host: the alive set shrinks to the next
-        power-of-two bucket, so later passes march only the surviving rays
-        (one compile per bucket size, cached). Typical scenes finish most
-        background rays in the first pass.
-        """
-        pass_fn, opts = self._get_pass_fn(fast)
-        n = origins.shape[0]
-        origins = np.asarray(origins, np.float32)
-        dirs = np.asarray(dirs, np.float32)
-        out = np.zeros((n, 3), np.float32)
-        mapping = np.arange(n)  # current row -> original ray index
-        cur_o, cur_d = origins, dirs
-        carry = None
-        max_passes = max(1, self.opts.max_segments // self.segs_per_pass + 1)
-        min_bucket = 2048
-        for _ in range(max_passes):
-            carry, alive = pass_fn(
-                self.arrays, jnp.asarray(cur_o), jnp.asarray(cur_d), carry
-            )
-            alive_np = np.asarray(alive)
-            n_alive = int(alive_np.sum())
-            if n_alive == 0:
-                break
-            # Shrink to the next power-of-two bucket when under half full.
-            cur_n = cur_o.shape[0]
-            if n_alive <= cur_n // 2 and cur_n > min_bucket:
-                bucket = max(min_bucket, 1 << int(np.ceil(np.log2(n_alive))))
-                keep = np.nonzero(alive_np)[0]
-                # Retire finished rays' colors now.
-                done = np.nonzero(~alive_np)[0]
-                colors = np.asarray(finalize_pass(carry, opts))
-                out[mapping[done]] = colors[done]
-                # Pad the alive set to the bucket with repeats of row 0.
-                pad = bucket - keep.size
-                sel = np.concatenate([keep, np.repeat(keep[:1], pad)])
-                carry = tuple(np.asarray(c)[sel] for c in carry)
-                carry = tuple(jnp.asarray(c) for c in carry)
-                mapping = mapping[sel]
-                cur_o, cur_d = cur_o[sel], cur_d[sel]
-        colors = np.asarray(finalize_pass(carry, opts))
-        # Padded duplicate rows map to the same original ray (same color).
-        out[mapping] = colors
-        return out
+        """Render [R, 3] rays via the deferred pipeline (see march.py)."""
+        renderer = self._get_deferred(fast)
+        schedule = (8, 16, self.segs_per_pass)
+        return renderer.render_chunk(
+            np.asarray(origins, np.float32),
+            np.asarray(dirs, np.float32),
+            pass_schedule=schedule,
+        )
 
     def render_persp(self, c2w, height, width, fx, fy=None, fast=False, chunk=65536):
         from plenoctree_tpu.data.rays import generate_rays
@@ -422,7 +481,7 @@ class VolumeRenderer:
 
 def default_max_segments(tree):
     """Scan length bound: enough segments to cross the deepest grid 1.5x."""
-    return int(3 * 2**tree.max_depth)
+    return int(1.5 * tree.N ** (tree.max_depth + 1))
 
 
 def make_ndc_config(width, height, focal):

@@ -236,3 +236,114 @@ class TestRenderer:
         )
         assert best_tree is not None
         assert best_psnr > psnr0 + 2.0, (psnr0, best_psnr)
+
+
+class TestGenericBranchFactor:
+    """svox's N3Tree is generic in N (reference --tree_branch_n,
+    octree/extraction.py:100-105); so are our tree + renderer."""
+
+    def _tiny_tree(self, N):
+        tree = N3Tree(
+            N=N,
+            data_dim=4,
+            depth_limit=2,
+            radius=1.0,
+            center=(0, 0, 0),
+            data_format="SH1",
+            init_reserve=64,
+        )
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-0.9, 0.9, size=(40, 3)).astype(np.float32)
+        for _ in range(2):
+            tree.refine_points(pts)
+        depths = tree.depths
+        leaf_ind = np.nonzero(depths >= 0)[0]
+        centers = tree.tree2world(tree.leaf_centers())
+        sigma, rgb = scene_sigma_rgb(centers)
+        rgbc = np.clip(rgb, 1e-4, 1 - 1e-4)
+        coeff = np.log(rgbc / (1 - rgbc)) / SH_C0
+        tree.set_leaf_data(
+            leaf_ind, np.concatenate([coeff, sigma[:, None]], -1).astype(np.float32)
+        )
+        return tree
+
+    def test_n3_query_roundtrip(self):
+        tree = self._tiny_tree(3)
+        assert tree.N == 3
+        centers = tree.leaf_centers()
+        node, cell, depth = tree.query_points(centers, world=False)
+        leaves = tree._leaf_nodes()
+        np.testing.assert_array_equal(node, leaves[:, 0])
+        np.testing.assert_array_equal(cell, leaves[:, 1:])
+
+    def test_n3_save_load(self, tmp_path):
+        tree = self._tiny_tree(3)
+        pth = str(tmp_path / "tree3.npz")
+        tree.save(pth, compress=False)
+        t2 = N3Tree.load(pth)
+        assert t2.N == 3
+        assert t2.n_internal == tree.n_internal
+
+    def test_n3_render_matches_oracle_no_accel(self):
+        # Deferred pipeline (accel grid) vs full-scan descent (no accel),
+        # both at N=3: agreement pins the N-generic descent + grid packing.
+        tree = self._tiny_tree(3)
+        rng = np.random.default_rng(1)
+        origins = np.tile([[0.0, 0.0, 3.0]], (32, 1)).astype(np.float32)
+        dirs = rng.normal(scale=0.2, size=(32, 3)).astype(np.float32)
+        dirs[:, 2] = -1.0
+        r = VolumeRenderer(tree, step_size=1e-3)
+        out = r.render_rays_early_stop(origins, dirs)
+        arrays = renderer_lib.tree_arrays(tree, accel=False)
+        opts = RenderOptions(step_size=1e-3, max_segments=64)
+        oracle = np.asarray(
+            render_rays(
+                arrays,
+                jnp.asarray(origins),
+                jnp.asarray(dirs),
+                "SH",
+                1,
+                tree.max_depth,
+                opts,
+            )
+        )
+        np.testing.assert_allclose(out, oracle, atol=1e-4)
+
+
+class TestAccelBudget:
+    def test_budgeted_grid_matches_full(self, scene_tree):
+        # A byte budget that forces a coarser grid (internal-pointer voxels
+        # + residual descent) must not change the image.
+        rng = np.random.default_rng(2)
+        origins = np.tile([[0.0, 0.0, 3.2]], (64, 1)).astype(np.float32)
+        dirs = rng.normal(scale=0.15, size=(64, 3)).astype(np.float32)
+        dirs[:, 2] = -1.0
+        full = VolumeRenderer(scene_tree, step_size=1e-3)
+        assert full.arrays["accel_level"] == scene_tree.max_depth + 1
+        tiny_budget = 4 * (2 ** (3 * 2)) * 8  # allows only a 2^2 grid
+        capped = VolumeRenderer(
+            scene_tree, step_size=1e-3, accel_bytes_budget=tiny_budget
+        )
+        assert capped.arrays["accel_level"] < full.arrays["accel_level"]
+        out_full = full.render_rays_early_stop(origins, dirs)
+        out_capped = capped.render_rays_early_stop(origins, dirs)
+        np.testing.assert_allclose(out_capped, out_full, atol=1e-4)
+
+    def test_deep_tree_keeps_accel(self):
+        # Depth beyond MAX_ACCEL_RESO must fall back to a budgeted grid,
+        # not lose acceleration entirely (round-1 review weak #7).
+        tree = N3Tree(
+            data_dim=4,
+            depth_limit=9,
+            radius=1.0,
+            center=(0, 0, 0),
+            data_format="SH1",
+            init_reserve=64,
+        )
+        pts = np.array([[0.3, 0.3, 0.3]], np.float32)
+        for _ in range(9):
+            tree.refine_points(pts)
+        arrays = renderer_lib.tree_arrays(tree)
+        assert arrays["accel"] is not None
+        assert arrays["accel_reso"] <= renderer_lib.MAX_ACCEL_RESO
+        assert arrays["accel_level"] < tree.max_depth + 1
