@@ -10,13 +10,15 @@ footprint (measured ~9 ns/row at 8 MB vs ~59 ns/row at 235 MB,
 scripts/bench_gather.py), and a lockstep scan pays every step for every ray.
 So:
 
-  Phase 1 — march (non-differentiable geometry): lax.scan where each step
-  does one i32 accel-grid gather + one f32 gather into a sigma-only table
-  (~50x narrower than the full leaf data). Cells with sigma above threshold
-  are pushed into fixed-K per-ray contributor slots (cell id + world-scale
-  delta_t). Early termination per pass; svox semantics: sigma<thresh cells
-  are skipped entirely (contribute neither color nor attenuation), light
-  below stop_thresh stops the ray.
+  Phase 1 — march (non-differentiable geometry): lax.while_loop where each
+  step does one i32 accel-grid gather + one f32 gather into a sigma-only
+  table (~50x narrower than the full leaf data). Cells with sigma above
+  threshold are pushed into fixed-K per-ray contributor slots (cell id +
+  world-scale delta_t). The loop runs device-side until every ray in the
+  bucket is done or a segment cap is hit (one dispatch, no per-pass host
+  round trips — the axon tunnel costs ~28 ms per sync). svox semantics:
+  sigma<thresh cells are skipped entirely (contribute neither color nor
+  attenuation), light below stop_thresh stops the ray.
 
   Phase 2 — shade (differentiable): ONE gather of full data rows for the
   contributor slots only, exact transmittance compositing over the slots,
@@ -57,23 +59,33 @@ def init_carry(rp, n_rays, K):
     }
 
 
-def march_pass(tables, rp, carry, meta, opts, n_segments):
-    """Advance every ray by up to n_segments leaf segments, filling slots.
+def march_while(tables, rp, carry, meta, opts, cap):
+    """march_pass as a device-side while_loop: advance until every ray is
+    done (left volume / saturated / slots full) or `cap` segments elapsed.
 
-    tables: device-array dict (accel/child/sigma/...); `sigma` must be the
-    CURRENT sigma channel (stop-gradient) during optimization. meta: static
-    TreeMeta. rp: _prep_rays output. Returns the updated carry.
+    One dispatch replaces the host-driven pass ladder's per-pass round trips
+    (measured ~28-53 ms RTT each through the axon tunnel); the loop exits the
+    moment the whole bucket is dead, so a short-lived bucket never pays the
+    full segment budget in lockstep.
     """
     sigma_tab = tables["sigma"]
     o, dn, safe_dn, delta_scale, _, tmax, _ = rp
     K = carry["cells"].shape[1]
     iota_k = jnp.arange(K, dtype=jnp.int32)[None, :]
 
-    def step(c, _):
+    def alive(c):
+        return (
+            (c["t"] <= tmax) & (c["light"] > opts.stop_thresh) & (c["count"] < K)
+        )
+
+    def cond(state):
+        i, c, any_alive = state
+        return (i < cap) & any_alive
+
+    def body(state):
+        i, c, _ = state
         t, light, count = c["t"], c["light"], c["count"]
-        active = (t <= tmax) & (light > opts.stop_thresh) & (count < K)
-        # Dead rays park at the origin: their (lockstep) gathers then all hit
-        # voxel/cell 0, which stays cache-hot.
+        active = alive(c)
         pos = jnp.where(
             active[..., None],
             jnp.clip(o + t[..., None] * dn, 0.0, 1.0 - 1e-7),
@@ -90,15 +102,18 @@ def march_pass(tables, rp, carry, meta, opts, n_segments):
         att = jnp.where(keep, jnp.exp(-delta_t * delta_scale * sigma), 1.0)
         push = active & keep
         oh = (iota_k == count[:, None]) & push[:, None]
-        return {
+        nc = {
             "t": jnp.where(active, t + delta_t, t),
             "light": jnp.where(active, light * att, light),
             "count": count + push.astype(jnp.int32),
             "cells": jnp.where(oh, cell[:, None], c["cells"]),
             "dts": jnp.where(oh, (delta_t * delta_scale)[:, None], c["dts"]),
-        }, None
+        }
+        return i + 1, nc, jnp.any(alive(nc))
 
-    carry, _ = jax.lax.scan(step, carry, None, length=n_segments)
+    _, carry, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry, jnp.any(alive(carry)))
+    )
     return carry
 
 
@@ -152,7 +167,7 @@ def shade_strip(data, cells_s, dts_s, valid_s, basis, light, acc, fmt, basis_dim
 
 
 class DeferredRenderer:
-    """Pass/compaction driver around march_pass + strip shading (eval path).
+    """Pass/compaction driver around march_while + strip shading (eval path).
 
     Holds jit caches keyed on (rows, segs) bucket shapes so repeated frames
     reuse compiles. The differentiable training path is `shade` called
@@ -168,8 +183,8 @@ class DeferredRenderer:
         self.K = K
         self.min_bucket = min_bucket
         self._march = jax.jit(
-            functools.partial(march_pass, meta=self.meta, opts=opts),
-            static_argnames=("n_segments",),
+            functools.partial(march_while, meta=self.meta, opts=opts),
+            static_argnames=("cap",),
         )
         self._alive = jax.jit(functools.partial(alive_mask, opts=opts, K=self.K))
         self._take = jax.jit(lambda tree, sel: jax.tree.map(lambda x: x[sel], tree))
@@ -187,12 +202,17 @@ class DeferredRenderer:
             self.tables, jnp.asarray(origins), jnp.asarray(dirs), self.fmt, self.basis_dim
         )
 
-    def render_chunk(self, origins, dirs, pass_schedule=(8, 16, 32)):
+    def render_chunk(self, origins, dirs, pass_schedule=(48, 192)):
         """Render one chunk of rays [R, 3] -> colors [R, C] (numpy).
 
-        Multi-pass march with host-checked early termination + power-of-two
-        ray compaction (finished rays stop costing lockstep gathers), then
-        strip shading over the contributor slots.
+        Each pass is ONE device dispatch: a while_loop march capped at the
+        schedule value (the last value repeats until the segment budget runs
+        out) that exits early when the whole bucket is dead. Between passes:
+        one host alive-sync + factor-4 ray compaction. The (bucket, cap)
+        shape space is deliberately TINY — a factor-4 bucket ladder and a
+        static cap schedule — because every new shape is a fresh remote XLA
+        compile (~15-30 s through the axon tunnel), which round-1's
+        power-of-two x remaining-budget ladder paid on almost every frame.
         """
         n = origins.shape[0]
         rp = self._prep(origins, dirs)
@@ -209,19 +229,22 @@ class DeferredRenderer:
         schedule = list(pass_schedule)
         seg_budget = self.opts.max_segments
         pass_i = 0
+        bucket = n
         while seg_budget > 0:
-            segs = schedule[pass_i] if pass_i < len(schedule) else schedule[-1]
+            segs = schedule[min(pass_i, len(schedule) - 1)]
             segs = min(segs, max(seg_budget, 1))
             seg_budget -= segs
             pass_i += 1
-            carry = self._march(self.tables, cur_rp, carry, n_segments=segs)
+            carry = self._march(self.tables, cur_rp, carry, cap=segs)
             alive = np.asarray(self._alive(cur_rp, carry))
             n_alive = int(alive.sum())
             if n_alive == 0:
                 break
-            cur_n = alive.shape[0]
-            if n_alive <= cur_n // 2 and cur_n > self.min_bucket:
-                bucket = max(self.min_bucket, 1 << int(np.ceil(np.log2(n_alive))))
+            new_bucket = bucket
+            while n_alive * 4 <= new_bucket and new_bucket // 4 >= self.min_bucket:
+                new_bucket //= 4
+            if new_bucket < bucket:
+                bucket = new_bucket  # ladder guarantees bucket >= n_alive
                 keep = np.nonzero(alive)[0]
                 retire = np.nonzero(~alive)[0]
                 done = self._stash(

@@ -32,7 +32,7 @@ from plenoctree_tpu.utils.io import host0_print as h0print, host0_tqdm
 class TwoPhaseRenderer:
     """March-to-completion + shade helpers shared by train/val steps."""
 
-    def __init__(self, arrays, fmt, basis_dim, opts, K=64, segs_per_pass=32):
+    def __init__(self, arrays, fmt, basis_dim, opts, K=64):
         tables, meta = renderer_lib.split_arrays(arrays)
         self.data0 = tables.pop("data")
         self.tables = tables
@@ -41,15 +41,9 @@ class TwoPhaseRenderer:
         self.basis_dim = basis_dim
         self.opts = opts
         self.K = K
-        self.segs_per_pass = segs_per_pass
         self._march = jax.jit(
-            functools.partial(march_lib.march_pass, meta=meta, opts=opts),
-            static_argnames=("n_segments",),
-        )
-        self._alive_any = jax.jit(
-            lambda rp, carry: jnp.any(
-                march_lib.alive_mask(rp, carry, opts=opts, K=K)
-            )
+            functools.partial(march_lib.march_while, meta=meta, opts=opts),
+            static_argnames=("cap",),
         )
         self._sigma_of = jax.jit(lambda d: d[:, -1])
         self._shade = jax.jit(
@@ -77,17 +71,11 @@ class TwoPhaseRenderer:
         )
 
     def march(self, data, rp, n_rays):
-        """Run passes until no ray is alive; returns the final carry."""
+        """March to completion: ONE device dispatch (while_loop with
+        device-side all-dead exit), zero host round-trips."""
         tables = dict(self.tables, sigma=self._sigma_of(data))
         carry = march_lib.init_carry(rp, n_rays, self.K)
-        budget = self.opts.max_segments
-        while budget > 0:
-            segs = min(self.segs_per_pass, budget)
-            budget -= segs
-            carry = self._march(tables, rp, carry, n_segments=segs)
-            if not bool(self._alive_any(rp, carry)):
-                break
-        return carry
+        return self._march(tables, rp, carry, cap=self.opts.max_segments)
 
     def render(self, data, o, d):
         rp = self.prep(o, d)

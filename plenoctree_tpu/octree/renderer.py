@@ -445,7 +445,10 @@ class VolumeRenderer:
     def render_rays_early_stop(self, origins, dirs, fast=False):
         """Render [R, 3] rays via the deferred pipeline (see march.py)."""
         renderer = self._get_deferred(fast)
-        schedule = (8, 16, self.segs_per_pass)
+        # 1x + 4x + 11x = one 16x budget in exactly three dispatches (the
+        # default budget, 1.5 * N^(depth+1), is a multiple of 16 * 48 for the
+        # depth-8 blender trees). Static caps keep the compile set tiny.
+        schedule = (self.segs_per_pass, 4 * self.segs_per_pass, 11 * self.segs_per_pass)
         return renderer.render_chunk(
             np.asarray(origins, np.float32),
             np.asarray(dirs, np.float32),

@@ -1,0 +1,128 @@
+"""Octree render throughput benchmark (VERDICT.md round-2 task #2).
+
+Builds a representative depth-`DEPTH` SH16 tree (sphere-shell occupancy, the
+shape class the paper's blender scenes produce) and measures full-frame
+render wall-clock at WIDTHxHEIGHT through the deferred two-phase renderer
+(fast mode = svox render_persp(fast=True) thresholds).
+
+Every frame uses a DIFFERENT camera pose — this environment's relay returns
+repeated identical-arg executions near-instantly, so identical-pose repeat
+timing is invalid (CLAUDE.md).
+
+Env knobs: BO_RESO (default 800), BO_DEPTH (7 => reso 256, 8 => 512),
+BO_FRAMES, BO_CHUNK, BO_FAST.
+"""
+
+import os
+import time
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+
+def make_tree(depth, data_dim=49, seed=0):
+    from plenoctree_tpu.octree.n3tree import N3Tree
+
+    rng = np.random.default_rng(seed)
+    tree = N3Tree(
+        data_dim=data_dim,
+        depth_limit=depth,
+        radius=0.5,
+        center=(0.5, 0.5, 0.5),
+        data_format=f"SH{(data_dim - 1) // 3}",
+        init_reserve=500000,
+    )
+    # Sphere shell: the dominant occupancy pattern of extracted scenes.
+    n_pts = 600000
+    u = rng.normal(size=(n_pts, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    r = 0.35 + 0.02 * rng.standard_normal(n_pts)[:, None]
+    pts = 0.5 + u * r
+    tree.build_from_points(pts, depth=depth, world=False)
+    n = tree.n_internal
+    tree.data[:n] = rng.standard_normal(tree.data[:n].shape).astype(np.float32)
+    # Realistic sigma layout: empty space (coarse leaves) is ~0 like a real
+    # extracted tree (σ-masking prunes it); the surface shell (max-depth
+    # leaves) is dense/opaque so rays terminate after a few cells.
+    tree.data[:n, ..., -1] = 0.0
+    leaves = tree._leaf_nodes()
+    depths = tree.parent_depth[leaves[:, 0], 1]
+    deep = leaves[depths == depth]
+    sig = rng.gamma(2.0, 120.0, size=deep.shape[0]).astype(np.float32)
+    tree.data[deep[:, 0], deep[:, 1], deep[:, 2], deep[:, 3], -1] = sig
+    return tree
+
+
+def orbit_pose(theta, radius=2.2, height=0.8):
+    cam = np.array(
+        [radius * np.cos(theta), radius * np.sin(theta), height], np.float32
+    )
+    target = np.array([0.0, 0.0, 0.0], np.float32)
+    fwd = target - cam
+    fwd /= np.linalg.norm(fwd)
+    up = np.array([0, 0, 1], np.float32)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    up2 = np.cross(right, fwd)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = right
+    c2w[:3, 1] = -up2
+    c2w[:3, 2] = -fwd  # OpenGL convention: camera looks along -z
+    c2w[:3, 3] = cam
+    return c2w
+
+
+def main():
+    import jax
+
+    reso = int(os.environ.get("BO_RESO", 800))
+    depth = int(os.environ.get("BO_DEPTH", 8))
+    frames = int(os.environ.get("BO_FRAMES", 5))
+    chunk = int(os.environ.get("BO_CHUNK", 65536))
+    fast = os.environ.get("BO_FAST", "1") == "1"
+
+    from plenoctree_tpu.octree.renderer import VolumeRenderer
+
+    print(f"devices: {jax.devices()}")
+    t0 = time.time()
+    tree = make_tree(depth)
+    print(
+        f"tree: depth={tree.max_depth} n_internal={tree.n_internal} "
+        f"n_leaves={tree.n_leaves} data_dim={tree.data_dim} "
+        f"({time.time()-t0:.1f}s build)"
+    )
+    t0 = time.time()
+    rend = VolumeRenderer(tree)
+    print(
+        f"renderer: accel reso={rend.arrays['accel_reso']} "
+        f"level={rend.arrays['accel_level']} ({time.time()-t0:.1f}s)"
+    )
+
+    fx = reso * 1.1
+    # Warmup frame compiles the pass/bucket ladder.
+    t0 = time.time()
+    img = rend.render_persp(orbit_pose(0.123), reso, reso, fx, fast=fast, chunk=chunk)
+    print(f"warmup frame: {time.time()-t0:.1f}s  mean={img.mean():.4f}")
+
+    times = []
+    for i in range(frames):
+        pose = orbit_pose(0.4 + 0.31 * i)
+        t0 = time.time()
+        img = rend.render_persp(pose, reso, reso, fx, fast=fast, chunk=chunk)
+        dt = time.time() - t0
+        times.append(dt)
+        print(f"frame {i}: {dt*1000:.0f} ms  ({1.0/dt:.2f} FPS) mean={img.mean():.4f}")
+
+    best = min(times)
+    med = sorted(times)[len(times) // 2]
+    print(
+        f"RESULT reso={reso} depth={depth} fast={fast}: "
+        f"median {med*1000:.0f} ms ({1/med:.2f} FPS), best {best*1000:.0f} ms "
+        f"({1/best:.2f} FPS)"
+    )
+
+
+if __name__ == "__main__":
+    main()
