@@ -82,10 +82,14 @@ def main():
     frames = int(os.environ.get("BO_FRAMES", 5))
     chunk = int(os.environ.get("BO_CHUNK", 65536))
     fast = os.environ.get("BO_FAST", "1") == "1"
+    which = os.environ.get("BO_RENDERER", "march")  # march | frustum
+    grid_c = int(os.environ.get("BO_GRID_C", 32))
 
     from plenoctree_tpu.octree.renderer import VolumeRenderer
+    from plenoctree_tpu.octree.frustum import FrustumRenderer
 
     print(f"devices: {jax.devices()}")
+    fx = reso * 1.1
     t0 = time.time()
     tree = make_tree(depth)
     print(
@@ -94,23 +98,39 @@ def main():
         f"({time.time()-t0:.1f}s build)"
     )
     t0 = time.time()
-    rend = VolumeRenderer(tree)
-    print(
-        f"renderer: accel reso={rend.arrays['accel_reso']} "
-        f"level={rend.arrays['accel_level']} ({time.time()-t0:.1f}s)"
-    )
+    if which == "frustum":
+        thr = 1e-2 if fast else 0.0
+        rend = FrustumRenderer(
+            tree, sigma_thresh=thr, stop_thresh=thr, grid_c=grid_c
+        )
+        print(
+            f"frustum renderer: C={grid_c} instances={rend.index['n_instances']}"
+            f" smax={rend.index['smax']} ({time.time()-t0:.1f}s)"
+        )
 
-    fx = reso * 1.1
+        def render(pose):
+            return rend.render_persp(pose, reso, reso, fx)
+
+    else:
+        rend = VolumeRenderer(tree)
+        print(
+            f"march renderer: accel reso={rend.arrays['accel_reso']} "
+            f"level={rend.arrays['accel_level']} ({time.time()-t0:.1f}s)"
+        )
+
+        def render(pose):
+            return rend.render_persp(pose, reso, reso, fx, fast=fast, chunk=chunk)
+
     # Warmup frame compiles the pass/bucket ladder.
     t0 = time.time()
-    img = rend.render_persp(orbit_pose(0.123), reso, reso, fx, fast=fast, chunk=chunk)
+    img = render(orbit_pose(0.123))
     print(f"warmup frame: {time.time()-t0:.1f}s  mean={img.mean():.4f}")
 
     times = []
     for i in range(frames):
         pose = orbit_pose(0.4 + 0.31 * i)
         t0 = time.time()
-        img = rend.render_persp(pose, reso, reso, fx, fast=fast, chunk=chunk)
+        img = render(pose)
         dt = time.time() - t0
         times.append(dt)
         print(f"frame {i}: {dt*1000:.0f} ms  ({1.0/dt:.2f} FPS) mean={img.mean():.4f}")
