@@ -20,12 +20,35 @@ def eval_octree(tree, dataset, cfg, want_lpips=True, want_frames=False):
     else:
         ndc_config = None
 
-    r = VolumeRenderer(
-        tree,
-        step_size=cfg.renderer_step_size,
-        ndc=ndc_config,
-        max_segments=getattr(cfg, "max_segments", 0) or None,
-    )
+    # Pinhole cameras use the Pallas tile renderer (serving path); NDC rays
+    # (per-ray origins break the tile-frustum hull) fall back to the march.
+    if ndc_config is None:
+        from plenoctree_tpu.octree.tile_render import TileRenderer
+
+        fast = not cfg.no_early_stop
+        thr = 1e-2 if fast else 0.0
+        tile_r = TileRenderer(
+            tree,
+            step_size=cfg.renderer_step_size,
+            sigma_thresh=thr,
+            stop_thresh=thr,
+        )
+
+        def render(c2w):
+            return tile_r.render_persp(c2w, h, w, focal)
+
+    else:
+        march_r = VolumeRenderer(
+            tree,
+            step_size=cfg.renderer_step_size,
+            ndc=ndc_config,
+            max_segments=getattr(cfg, "max_segments", 0) or None,
+        )
+
+        def render(c2w):
+            return march_r.render_persp(
+                c2w, height=h, width=w, fx=focal, fast=not cfg.no_early_stop
+            )
 
     lpips_fn = None
     if want_lpips:
@@ -39,7 +62,7 @@ def eval_octree(tree, dataset, cfg, want_lpips=True, want_frames=False):
     for idx in host0_tqdm(range(dataset.size)):
         c2w = dataset.camtoworlds[idx]
         im_gt = dataset.images[idx].reshape(h, w, -1)[..., :3]
-        im = r.render_persp(c2w, height=h, width=w, fx=focal, fast=not cfg.no_early_stop)
+        im = render(c2w)
         im = np.clip(im, 0.0, 1.0)
 
         mse = float(((im - im_gt) ** 2).mean())

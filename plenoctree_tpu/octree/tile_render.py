@@ -1,0 +1,651 @@
+"""Pallas tile-frustum PlenOctree renderer — the TPU serving path.
+
+Reference capability: svox's CUDA `render_persp` + the C++ volrend viewer
+(reference octree/nerf/utils.py:448-498; paper headline ~150 FPS @ 800x800
+on a V100). Per-ray adaptive marching is gather-latency-bound on TPU
+(measured ~7-40 ns per data-dependent gather, octree/march.py), so this
+renderer restructures the computation around contiguous DMA and dense
+VPU/MXU math:
+
+  * Build (host, per scene): every leaf above the sigma threshold is
+    replicated into each coarse C^3 grid cell it overlaps (full AABB +
+    home-cell id). At render time exactly one replica fires per ray: the
+    one whose home cell contains the ray's segment midpoint — which is
+    always inside some covered cell, for any leaf size — so each leaf is
+    integrated once, as one full segment with one step epsilon (march
+    parity). Instances are sorted by cell id in THREE axis-major orders
+    (one per possible dominant ray axis) so that, for any camera, every
+    per-frame access is a CONTIGUOUS run of rows.
+  * Phase 1 (XLA, per 16x16 pixel tile): walk the tile frustum through the
+    grid slab-by-slab along the dominant axis; per (slab, lateral-1) the
+    candidate lateral-2 cells form ONE contiguous CSR row range (lateral-2
+    is the stride-1 axis of that ordering). Emit compacted (start, len)
+    ranges in front-to-back slab order. Tiny CSR gathers are the only
+    random access per frame.
+  * Phase 2 (Pallas kernel, grid over tiles): double-buffered 128-row DMA
+    chunks of instance rows HBM->VMEM; each chunk is tested against all
+    256 tile rays (dense VPU), decoded with one [3*rows, basis] x
+    [basis, 256] MXU matmul, and composited. WITHIN a chunk, occlusion
+    ordering uses the tile's mean ray direction: a [rows, rows]
+    precedence mask matmul (MXU) gives every hit the optical depth of
+    the hits in front of it — no per-ray sort. Across chunks the order
+    is the front-to-back emission order with a running optical depth.
+    The whole tile keeps only (cum_od [256], acc [3,256]) as state.
+
+svox semantics preserved (march.py parity): sigma<=sigma_thresh leaves
+contribute neither color nor attenuation; dt = (exit-entry) + step_size;
+light below stop_thresh stops accumulating; remaining light composites
+onto background_brightness. Known approximation vs the march oracle
+(tests pin it to >40 dB): hit ordering between laterally-adjacent cells
+uses mean-direction order rather than per-ray order (the ray sets that
+hit both are small).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from plenoctree_tpu.octree.renderer import RenderOptions, _ray_basis
+
+TILE = 16  # pixels per tile side (256 rays)
+RAYS = TILE * TILE
+RUNROWS = 128  # instance rows per DMA chunk
+
+
+# ---------------------------------------------------------------------------
+# Build: clipped instance replication, 3 axis-major sort orders
+# ---------------------------------------------------------------------------
+
+
+def build_tile_index(tree, sigma_thresh=0.0, grid_c=64):
+    """Host-side per-scene preprocessing.
+
+    Returns dict with:
+      soa  [fields, 3 * npad] f32, field-major: lo(3) hi(3) home(1,
+           bitcast i32) data(data_dim) + sublane pad — three axis-major
+           copies side by side, each padded to a RUNROWS multiple
+      csr  [3, C^3 + 1] i32 — per-axis row starts (local to each copy)
+      base [3] i32 — column offset of each copy inside soa
+      grid_c, n_instances, sigma_row
+    """
+    leaves = tree._leaf_nodes()
+    corner = tree._cell_corner(leaves).astype(np.float64)
+    size = tree._cell_size(leaves).astype(np.float64)
+    data = tree.data[leaves[:, 0], leaves[:, 1], leaves[:, 2], leaves[:, 3]].astype(
+        np.float32
+    )
+    sigma = data[:, -1]
+    keep = (sigma > 0.0) & (sigma > sigma_thresh)
+    corner, size, data = corner[keep], size[keep], data[keep]
+
+    C = grid_c
+    lo_cell = np.clip((corner * C).astype(np.int64), 0, C - 1)
+    hi_cell = np.clip(
+        np.ceil((corner + size[:, None]) * C).astype(np.int64) - 1, 0, C - 1
+    )
+    span = hi_cell - lo_cell + 1
+
+    # Expand instances over the (dx,dy,dz) offset lattice, clipping each
+    # instance's box to its cell (exact partition — no double counting).
+    max_span = int(span.max()) if span.size else 1
+    inst_leaf, inst_vox = [], []
+    for dx in range(max_span):
+        for dy in range(max_span):
+            for dz in range(max_span):
+                m = (dx < span[:, 0]) & (dy < span[:, 1]) & (dz < span[:, 2])
+                if not m.any():
+                    continue
+                idx = np.nonzero(m)[0]
+                inst_leaf.append(idx)
+                inst_vox.append(lo_cell[idx] + np.array([dx, dy, dz])[None, :])
+    if inst_leaf:
+        inst_leaf = np.concatenate(inst_leaf)
+        inst_vox = np.concatenate(inst_vox, axis=0)
+    else:
+        inst_leaf = np.zeros(0, np.int64)
+        inst_vox = np.zeros((0, 3), np.int64)
+    n = inst_leaf.shape[0]
+
+    # Full (unclipped) leaf boxes: the kernel integrates the whole leaf
+    # segment with ONE step epsilon (march parity); the home-cell id makes
+    # exactly one replica fire — the one whose cell holds the segment
+    # midpoint (always inside some covered cell, any leaf size).
+    home = ((inst_vox[:, 0] * C + inst_vox[:, 1]) * C + inst_vox[:, 2]).astype(
+        np.int32
+    )
+    d_cols = data.shape[1]
+    rows = np.zeros((n, 7 + d_cols), np.float32)
+    rows[:, 0:3] = corner[inst_leaf]
+    rows[:, 3:6] = (corner + size[:, None])[inst_leaf]
+    rows[:, 6] = home.view(np.float32)
+    rows[:, 7:] = data[inst_leaf]
+
+    # Field-major layout [fields, 3*npad]: the kernel DMAs [fields, 128]
+    # column blocks, whose lane dim is 128-aligned as Mosaic requires; it
+    # also hands coefficient slices to the MXU with no transpose. Each
+    # axis-major copy is padded to a 128 multiple so chunk windows stay
+    # inside their copy.
+    npad = max(-(-n // RUNROWS) * RUNROWS, RUNROWS)
+    fpad = -(-(7 + d_cols) // 8) * 8  # field rows padded to the sublane tile
+    soa = np.zeros((fpad, 3 * npad), np.float32)
+    csr = np.zeros((3, C**3 + 1), np.int64)
+    base = np.array([0, npad, 2 * npad], np.int64)
+    for axis in range(3):
+        p = (axis, (axis + 1) % 3, (axis + 2) % 3)
+        key = (inst_vox[:, p[0]] * C + inst_vox[:, p[1]]) * C + inst_vox[:, p[2]]
+        order = np.argsort(key, kind="stable")
+        soa[: 7 + d_cols, axis * npad : axis * npad + n] = rows[order].T
+        count = np.bincount(key, minlength=C**3)
+        csr[axis, 1:] = np.cumsum(count)
+    return {
+        "soa": jnp.asarray(soa),
+        "csr": jnp.asarray(csr.astype(np.int32)),
+        "base": jnp.asarray(base.astype(np.int32)),
+        "grid_c": C,
+        "n_instances": n,
+        "sigma_row": 7 + d_cols - 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: per-tile frustum walk -> compacted contiguous row ranges
+# ---------------------------------------------------------------------------
+
+
+def _phase1(csr, base, o4, d4, tmin4, tmax4, grid_c, w1cap, rcap):
+    """One tile's candidate row ranges, front-to-back slab order.
+
+    o4/d4 [4, 3]: the tile's corner rays (tree space, unit dn). Returns
+    (runs_start [rcap], runs_len [rcap], n_total, rev) where rev flags
+    that lateral-2 chunks should be consumed back-to-front.
+    """
+    C = grid_c
+    min_abs = jnp.min(jnp.abs(d4), axis=0)
+    axis = jnp.argmax(min_abs)
+    perm = jnp.stack([axis, (axis + 1) % 3, (axis + 2) % 3])
+    op = o4[:, perm]  # [4, 3]; component 0 = dominant
+    dp = d4[:, perm]
+    sgn = jnp.sign(jnp.sum(dp[:, 0]))
+    safe_d = jnp.where(jnp.abs(dp) < 1e-9, 1e-9, dp)
+
+    # Slab planes along the dominant axis, enumerated in travel order.
+    s = jnp.arange(C, dtype=jnp.float32)
+    a_pos = jnp.where(sgn >= 0, s, C - 1.0 - s).astype(jnp.int32)  # [C]
+    plane_lo = a_pos.astype(jnp.float32) / C
+    plane_hi = (a_pos.astype(jnp.float32) + 1.0) / C
+    # Corner-ray t at both planes, UNCLIPPED: for a shared-origin tile the
+    # frustum cross-section at a plane is exactly the hull of the corner
+    # crossings, so clipping a corner to its own box span (which may be
+    # empty at wide FOV) would under-cover the interior rays.
+    ta = (plane_lo[:, None] - op[None, :, 0]) / safe_d[None, :, 0]  # [C, 4]
+    tb = (plane_hi[:, None] - op[None, :, 0]) / safe_d[None, :, 0]
+    t_in = jnp.minimum(ta, tb)
+    t_out = jnp.maximum(ta, tb)
+    # Slab pruning via a conservative tile-level t-span: the corner span
+    # hull when every corner crosses the box, the whole volume otherwise.
+    all_valid = jnp.all(tmax4 > tmin4)
+    span_lo = jnp.where(all_valid, jnp.maximum(jnp.min(tmin4), 0.0), 0.0)
+    span_hi = jnp.where(all_valid, jnp.max(tmax4), 4.0)
+    slab_valid = jnp.any((t_in <= span_hi) & (t_out >= span_lo), axis=1)  # [C]
+
+    # Lateral footprint: corner positions at both plane crossings.
+    ts = jnp.stack([t_in, t_out], axis=-1)  # [C, 4, 2]
+    lat = op[None, :, None, 1:] + ts[..., None] * dp[None, :, None, 1:]  # [C,4,2,2]
+    lat = jnp.clip(lat, -1.0, 2.0)  # keep the i32 cell math in range
+    lat_lo = jnp.min(lat, axis=(1, 2))  # [C, 2]
+    lat_hi = jnp.max(lat, axis=(1, 2))
+    v_lo = jnp.floor(lat_lo * C).astype(jnp.int32) - 1
+    v_hi = jnp.floor(lat_hi * C).astype(jnp.int32) + 1
+    v_lo = jnp.clip(v_lo, 0, C - 1)
+    v_hi = jnp.clip(v_hi, 0, C - 1)
+
+    # lateral-1 window, enumerated along travel sign; lateral-2 is one
+    # contiguous CSR range [v2_lo .. v2_hi] (stride-1 axis).
+    sgn1 = jnp.sign(jnp.sum(dp[:, 1]))
+    j = jnp.arange(w1cap, dtype=jnp.int32)
+    w1 = jnp.where(sgn1 >= 0, v_lo[:, 0:1] + j[None, :], v_hi[:, 0:1] - j[None, :])
+    w1_ok = (j[None, :] <= (v_hi[:, 0:1] - v_lo[:, 0:1])) & slab_valid[:, None]
+    w1c = jnp.clip(w1, 0, C - 1)
+
+    cell_lo = (a_pos[:, None] * C + w1c) * C + v_lo[:, 1:2]  # [C, w1cap]
+    cell_hi = (a_pos[:, None] * C + w1c) * C + v_hi[:, 1:2]
+    r_start = csr[axis, cell_lo] + base[axis]
+    r_end = csr[axis, cell_hi + 1] + base[axis]
+    r_len = jnp.where(w1_ok, r_end - r_start, 0)
+
+    flat_start = r_start.reshape(-1)
+    flat_len = r_len.reshape(-1)
+    flat_valid = flat_len > 0
+
+    # Order-preserving compaction via searchsorted on the valid-rank.
+    rank = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
+    n_total = rank[-1] + 1
+    slots = jnp.arange(rcap, dtype=jnp.int32)
+    idx = jnp.clip(jnp.searchsorted(rank, slots, side="left"), 0, rank.shape[0] - 1)
+    ok = slots < jnp.minimum(n_total, rcap)
+    runs_start = jnp.where(ok, flat_start[idx], 0)
+    runs_len = jnp.where(ok, flat_len[idx], 0)
+    rev = (jnp.sign(jnp.sum(dp[:, 2])) < 0).astype(jnp.int32)
+    return runs_start, runs_len, jnp.minimum(n_total, jnp.int32(2**30)), rev
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: Pallas tile-compositing kernel
+# ---------------------------------------------------------------------------
+
+
+def _tile_kernel(
+    # per-tile SMEM scalars / lists (dummy middle dim: Mosaic requires the
+    # last two block dims to be 8/128-divisible OR equal the array dims)
+    meta_ref,  # (1, 1, 4) i32: [n_ranges, rev, 0, 0]
+    runs_s_ref,  # (1, 1, rcap) i32
+    runs_l_ref,  # (1, 1, rcap) i32
+    # per-tile VMEM ray blocks, ray-major [RAYS, c]
+    o_ref,  # (1, RAYS, 4): origin xyz + pad
+    invd_ref,  # (1, RAYS, 4)
+    dn_ref,  # (1, RAYS, 4): unit tree-space direction + pad
+    aux_ref,  # (1, RAYS, 4): delta_scale, tmin, tmax, pad
+    mdir_ref,  # (1, 1, 4): mean ray dir + pad
+    basis_ref,  # (1, RAYS, basis_dim)
+    soa_ref,  # full field-major soa [fields, 3*npad], ANY/HBM
+    out_ref,  # (1, RAYS, 8): rgb(nc) + light + pad
+    buf,  # VMEM (2, fields, RUNROWS)
+    sem,  # DMA((2,))
+    *,
+    fmt,
+    basis_dim,
+    n_channels,
+    sigma_row,
+    grid_c,
+    step_eps,
+    stop_thresh,
+    od_cap,
+):
+    n_ranges = meta_ref[0, 0, 0]
+    rev = meta_ref[0, 0, 1]
+    basis = basis_ref[0]  # [RAYS, bd]
+    dscale = aux_ref[0, :, 0:1]  # [RAYS, 1]
+    tmin = aux_ref[0, :, 1:2]
+    tmax = aux_ref[0, :, 2:3]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, RUNROWS), 1)
+
+    def chunk_c0(ri, k):
+        """128-aligned column window of travel-order chunk k of range ri."""
+        start = runs_s_ref[0, 0, ri]
+        length = runs_l_ref[0, 0, ri]
+        first = (start // RUNROWS) * RUNROWS
+        last = ((start + length - 1) // RUNROWS) * RUNROWS
+        return jnp.where(rev == 1, last - k * RUNROWS, first + k * RUNROWS)
+
+    def chunk_dma(ri, k, slot):
+        c0 = pl.multiple_of(chunk_c0(ri, k), RUNROWS)
+        return pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(c0, RUNROWS)], buf.at[slot], sem.at[slot]
+        )
+
+    def next_rk(ri, k):
+        start = runs_s_ref[0, 0, ri]
+        length = runs_l_ref[0, 0, ri]
+        nck = (start + length - 1) // RUNROWS - start // RUNROWS + 1
+        done = k + 1 >= nck
+        return jnp.where(done, ri + 1, ri), jnp.where(done, 0, k + 1)
+
+    @pl.when(n_ranges > 0)
+    def _():
+        chunk_dma(0, 0, 0).start()
+
+    def cond(state):
+        ri, k, slot, cum, acc = state
+        return ri < n_ranges
+
+    def body(state):
+        ri, k, slot, cum, acc = state
+        ri2, k2 = next_rk(ri, k)
+        # Early tile exit once every ray is saturated: poison the iterator
+        # (this chunk still completes; no DMA is left in flight).
+        saturated = jnp.min(cum) > od_cap
+        ri2 = jnp.where(saturated, n_ranges, ri2)
+
+        @pl.when(ri2 < n_ranges)
+        def _():
+            chunk_dma(ri2, k2, 1 - slot).start()
+
+        start = runs_s_ref[0, 0, ri]
+        end = start + runs_l_ref[0, 0, ri]
+        chunk_dma(ri, k, slot).wait()
+        f = buf[slot]  # [fields, RUNROWS]
+        rowid = chunk_c0(ri, k) + lane  # [1, RUNROWS]
+        live = (rowid >= start) & (rowid < end)
+
+        # Ray/box slab test, [RAYS, RUNROWS] per axis.
+        tn = None
+        tf = None
+        for a in range(3):
+            t1 = (f[a : a + 1, :] - o_ref[0, :, a : a + 1]) * invd_ref[0, :, a : a + 1]
+            t2 = (f[3 + a : 4 + a, :] - o_ref[0, :, a : a + 1]) * invd_ref[
+                0, :, a : a + 1
+            ]
+            tn_a = jnp.minimum(t1, t2)
+            tf_a = jnp.maximum(t1, t2)
+            tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
+            tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
+        entry = jnp.maximum(tn, tmin)
+        hit = (tf > entry) & (entry <= tmax) & live
+        # Dedup the replicas of one leaf: only the instance whose home cell
+        # holds the segment midpoint fires (exactly one covered cell does).
+        tmid = 0.5 * (entry + tf)
+        home = jax.lax.bitcast_convert_type(f[6:7, :], jnp.int32)  # [1, RUNROWS]
+        vcell = None
+        for a in range(3):
+            mp = o_ref[0, :, a : a + 1] + tmid * dn_ref[0, :, a : a + 1]
+            va = jnp.clip(
+                jnp.floor(mp * grid_c).astype(jnp.int32), 0, grid_c - 1
+            )
+            vcell = va if vcell is None else vcell * grid_c + va
+        hit = hit & (vcell == home)
+        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)  # [1, RUNROWS]
+        sdt = jnp.where(hit, sigma * (tf - entry + step_eps) * dscale, 0.0)
+
+        # Within-chunk occlusion order along the tile's mean direction: a
+        # [R, R] precedence-mask matmul (MXU) replaces per-ray sorts.
+        # B[j, i] = 1 iff row j is in front of row i.
+        key = (
+            0.5
+            * (
+                (f[0:1, :] + f[3:4, :]) * mdir_ref[0, 0, 0]
+                + (f[1:2, :] + f[4:5, :]) * mdir_ref[0, 0, 1]
+                + (f[2:3, :] + f[5:6, :]) * mdir_ref[0, 0, 2]
+            )
+        )  # [1, RUNROWS]
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 1)
+        ).astype(jnp.float32)
+        key_col = jax.lax.dot_general(
+            eye,
+            key,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RUNROWS, 1] — lane->sublane move via MXU (no vector transpose)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 1)
+        before = (key_col < key) | ((key_col == key) & (rid < cid))
+        occ = cum + jax.lax.dot(
+            sdt, before.astype(jnp.float32), preferred_element_type=jnp.float32
+        )  # [RAYS, RUNROWS]
+
+        light = jnp.exp(-occ)
+        contrib = jnp.where(light > stop_thresh, light * (1.0 - jnp.exp(-sdt)), 0.0)
+
+        # Per-channel decode: [RAYS, bd] x [bd, RUNROWS] on the MXU, no
+        # transposes or lane-dim reshapes.
+        cols = []
+        for c in range(n_channels):
+            coef_c = f[7 + c * basis_dim : 7 + (c + 1) * basis_dim, :]
+            raw_c = jax.lax.dot(basis, coef_c, preferred_element_type=jnp.float32)
+            rgb_c = jax.nn.sigmoid(raw_c) if fmt in ("SH", "SG") else raw_c
+            cols.append(
+                acc[:, c : c + 1] + jnp.sum(contrib * rgb_c, axis=1, keepdims=True)
+            )
+        acc = jnp.concatenate(cols, axis=1)
+        cum = cum + jnp.sum(sdt, axis=1, keepdims=True)
+        return ri2, k2, 1 - slot, cum, acc
+
+    init = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.zeros((RAYS, 1), jnp.float32),
+        jnp.zeros((RAYS, n_channels), jnp.float32),
+    )
+    _, _, _, cum, acc = jax.lax.while_loop(cond, body, init)
+    pad = jnp.zeros((RAYS, 8 - n_channels - 1), jnp.float32)
+    out_ref[0] = jnp.concatenate([acc, jnp.exp(-cum), pad], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Renderer driver
+# ---------------------------------------------------------------------------
+
+
+class TileRenderer:
+    """Full-image pinhole renderer over a static tree (serving/eval path).
+
+    Fast mode is an init-time choice (the instance index is threshold-
+    dependent): construct with sigma_thresh/stop_thresh ~1e-2.
+    """
+
+    def __init__(
+        self,
+        tree,
+        step_size=1e-4,
+        background_brightness=1.0,
+        sigma_thresh=0.0,
+        stop_thresh=0.0,
+        grid_c=64,
+        rcap=256,
+        w1cap=None,
+        interpret=None,
+    ):
+        self.tree = tree
+        self.opts = RenderOptions(
+            step_size=step_size,
+            background_brightness=background_brightness,
+            sigma_thresh=sigma_thresh,
+            stop_thresh=stop_thresh,
+        )
+        self.index = build_tile_index(tree, sigma_thresh, grid_c)
+        self.grid_c = grid_c
+        self.rcap = rcap
+        self.w1cap = w1cap
+        self.fmt = tree.data_format.format
+        self.basis_dim = tree.data_format.basis_dim
+        self.n_channels = (self.index["sigma_row"] - 7) // self.basis_dim
+        self.offset = jnp.asarray(tree.offset, jnp.float32)
+        self.invradius = jnp.asarray(tree.invradius, jnp.float32)
+        self.extra_data = (
+            None if tree.extra_data is None else jnp.asarray(tree.extra_data)
+        )
+        self.interpret = (
+            jax.default_backend() != "tpu" if interpret is None else interpret
+        )
+        self._p1_cache = {}
+        self._p2_cache = {}
+
+    # -- jit caches ---------------------------------------------------------
+
+    def _get_p1(self, w1cap, rcap):
+        key = (w1cap, rcap)
+        if key not in self._p1_cache:
+            self._p1_cache[key] = jax.jit(
+                jax.vmap(
+                    functools.partial(
+                        _phase1,
+                        grid_c=self.grid_c,
+                        w1cap=w1cap,
+                        rcap=rcap,
+                    ),
+                    in_axes=(None, None, 0, 0, 0, 0),
+                )
+            )
+        return self._p1_cache[key]
+
+    def _get_p2(self, n_tiles, rcap):
+        key = (n_tiles, rcap)
+        if key not in self._p2_cache:
+            fields = int(self.index["soa"].shape[0])
+            od_cap = (
+                -float(np.log(self.opts.stop_thresh))
+                if self.opts.stop_thresh > 0
+                else 1e30
+            )
+            kernel = functools.partial(
+                _tile_kernel,
+                fmt=self.fmt,
+                basis_dim=self.basis_dim,
+                n_channels=self.n_channels,
+                sigma_row=int(self.index["sigma_row"]),
+                grid_c=self.grid_c,
+                step_eps=self.opts.step_size,
+                stop_thresh=self.opts.stop_thresh,
+                od_cap=od_cap,
+            )
+            bd = self.basis_dim
+            nc = self.n_channels
+            call = pl.pallas_call(
+                kernel,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, rcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, rcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, RAYS, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, RAYS, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((n_tiles, RAYS, 8), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((2, fields, RUNROWS), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=self.interpret,
+            )
+            self._p2_cache[key] = jax.jit(call)
+        return self._p2_cache[key]
+
+    # -- ray setup ----------------------------------------------------------
+
+    def _tile_rays(self, c2w, height, width, fx):
+        """Host ray setup -> per-tile world ray arrays (edge-padded)."""
+        from plenoctree_tpu.data.rays import generate_rays
+
+        hp = -(-height // TILE) * TILE
+        wp = -(-width // TILE) * TILE
+        # Rays at the TRUE size (principal point at the true center), then
+        # edge-pad to the tile grid; padded rays render and crop away.
+        rays = generate_rays(width, height, fx, np.asarray(c2w, np.float32)[None])
+        o = rays.origins.reshape(height, width, 3).astype(np.float32)
+        d = rays.directions.reshape(height, width, 3).astype(np.float32)
+        if hp != height or wp != width:
+            o = np.pad(o, ((0, hp - height), (0, wp - width), (0, 0)), mode="edge")
+            d = np.pad(d, ((0, hp - height), (0, wp - width), (0, 0)), mode="edge")
+
+        def tilize(x):
+            return (
+                x.reshape(hp // TILE, TILE, wp // TILE, TILE, 3)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(-1, RAYS, 3)
+            )
+
+        return tilize(o), tilize(d), hp, wp
+
+    def render_persp(self, c2w, height, width, fx):
+        """Render an image [H, W, 3] (numpy, float32)."""
+        ot, dt, hp, wp = self._tile_rays(c2w, height, width, fx)
+        n_tiles = ot.shape[0]
+
+        viewdirs = dt / np.linalg.norm(dt, axis=-1, keepdims=True)
+        o = jnp.asarray(ot) * self.invradius + self.offset
+        d = jnp.asarray(viewdirs) * self.invradius
+        delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
+        dn = d * delta_scale[..., None]
+        safe_dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+        invd = 1.0 / safe_dn
+        t0 = (0.0 - o) * invd
+        t1 = (1.0 - o) * invd
+        tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0) + 1e-5
+        tmax = jnp.min(jnp.maximum(t0, t1), -1) - 1e-5
+        basis = _ray_basis(
+            self.fmt,
+            self.basis_dim,
+            jnp.asarray(viewdirs.reshape(-1, 3)),
+            self.extra_data,
+        ).reshape(n_tiles, RAYS, -1)
+
+        corners = np.array([0, TILE - 1, TILE * (TILE - 1), RAYS - 1], np.int32)
+        # Lateral-1 window bound: tile angular footprint in cells + pads.
+        w1cap = self.w1cap or int(
+            min(self.grid_c, np.ceil(np.sqrt(3) * TILE / fx * self.grid_c) + 3)
+        )
+
+        rcap = self.rcap
+        while True:
+            runs_start, runs_len, n_total, rev = self._get_p1(w1cap, rcap)(
+                self.index["csr"],
+                self.index["base"],
+                o[:, corners],
+                dn[:, corners],
+                tmin[:, corners],
+                tmax[:, corners],
+            )
+            n_total_h = np.asarray(n_total)
+            if n_total_h.max(initial=0) <= rcap or rcap >= 4096:
+                break
+            rcap = int(min(4096, 2 * rcap))
+
+        n_ranges = jnp.minimum(n_total, rcap).astype(jnp.int32)
+        meta = jnp.stack(
+            [n_ranges, rev, jnp.zeros_like(rev), jnp.zeros_like(rev)], axis=-1
+        )
+        mean_d = jnp.mean(dn, axis=1)  # [T, 3]
+        mdir = jnp.concatenate(
+            [mean_d, jnp.zeros((n_tiles, 1), jnp.float32)], axis=-1
+        )[:, None, :]
+        aux = jnp.stack(
+            [delta_scale, tmin, tmax, jnp.zeros_like(tmin)], axis=-1
+        )  # [T, RAYS, 4]
+
+        pad1 = jnp.zeros((n_tiles, RAYS, 1), jnp.float32)
+        out = self._get_p2(n_tiles, rcap)(
+            meta[:, None, :],
+            runs_start[:, None, :],
+            runs_len[:, None, :],
+            jnp.concatenate([o, pad1], axis=-1),
+            jnp.concatenate([invd, pad1], axis=-1),
+            jnp.concatenate([dn, pad1], axis=-1),
+            aux,
+            mdir,
+            basis,
+            self.index["soa"],
+        )
+        out = np.asarray(out)
+        nc = self.n_channels
+        rgb = out[:, :, :nc]
+        light = out[:, :, nc]
+        img = rgb + light[..., None] * self.opts.background_brightness
+        img = (
+            img.reshape(hp // TILE, wp // TILE, TILE, TILE, nc)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(hp, wp, nc)
+        )
+        return img[:height, :width]

@@ -82,11 +82,11 @@ def main():
     frames = int(os.environ.get("BO_FRAMES", 5))
     chunk = int(os.environ.get("BO_CHUNK", 65536))
     fast = os.environ.get("BO_FAST", "1") == "1"
-    which = os.environ.get("BO_RENDERER", "march")  # march | frustum
-    grid_c = int(os.environ.get("BO_GRID_C", 32))
+    which = os.environ.get("BO_RENDERER", "tile")  # tile | march
+    grid_c = int(os.environ.get("BO_GRID_C", 64))
 
     from plenoctree_tpu.octree.renderer import VolumeRenderer
-    from plenoctree_tpu.octree.frustum import FrustumRenderer
+    from plenoctree_tpu.octree.tile_render import TileRenderer
 
     print(f"devices: {jax.devices()}")
     fx = reso * 1.1
@@ -98,14 +98,14 @@ def main():
         f"({time.time()-t0:.1f}s build)"
     )
     t0 = time.time()
-    if which == "frustum":
+    if which == "tile":
         thr = 1e-2 if fast else 0.0
-        rend = FrustumRenderer(
+        rend = TileRenderer(
             tree, sigma_thresh=thr, stop_thresh=thr, grid_c=grid_c
         )
         print(
-            f"frustum renderer: C={grid_c} instances={rend.index['n_instances']}"
-            f" smax={rend.index['smax']} ({time.time()-t0:.1f}s)"
+            f"tile renderer: C={grid_c} instances={rend.index['n_instances']}"
+            f" soa={rend.index['soa'].shape} ({time.time()-t0:.1f}s)"
         )
 
         def render(pose):

@@ -1,0 +1,102 @@
+"""TileRenderer (Pallas, interpret mode on CPU) vs the march oracle."""
+
+import numpy as np
+import pytest
+
+from plenoctree_tpu.data.synthetic import render_synthetic_scene
+from plenoctree_tpu.octree.tile_render import TileRenderer, build_tile_index
+from plenoctree_tpu.octree.renderer import VolumeRenderer
+
+from tests.test_octree import build_scene_tree
+
+
+@pytest.fixture(scope="module")
+def scene_tree():
+    return build_scene_tree()
+
+
+def _psnr(a, b):
+    mse = float(((a - b) ** 2).mean())
+    return 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+
+class TestTileIndex:
+    def test_replicas_cover_all_overlapped_cells(self, scene_tree):
+        """Each kept leaf has one replica per coarse cell its box overlaps."""
+        C = 16
+        idx = build_tile_index(scene_tree, grid_c=C)
+        leaves = scene_tree._leaf_nodes()
+        data = scene_tree.data[
+            leaves[:, 0], leaves[:, 1], leaves[:, 2], leaves[:, 3]
+        ]
+        keep = data[:, -1] > 0
+        corner = scene_tree._cell_corner(leaves)[keep].astype(np.float64)
+        size = scene_tree._cell_size(leaves)[keep].astype(np.float64)
+        lo_cell = np.clip((corner * C).astype(int), 0, C - 1)
+        hi_cell = np.clip(np.ceil((corner + size[:, None]) * C).astype(int) - 1, 0, C - 1)
+        expect = int((hi_cell - lo_cell + 1).prod(axis=1).sum())
+        assert idx["n_instances"] == expect
+
+    def test_csr_consistent_per_axis(self, scene_tree):
+        idx = build_tile_index(scene_tree, grid_c=16)
+        csr = np.asarray(idx["csr"])
+        for axis in range(3):
+            assert csr[axis, 0] == 0
+            assert csr[axis, -1] == idx["n_instances"]
+            assert (np.diff(csr[axis]) >= 0).all()
+
+    def test_home_matches_csr_cell(self, scene_tree):
+        """Stored home ids agree with the axis-0 CSR bucket of each row."""
+        C = 16
+        idx = build_tile_index(scene_tree, grid_c=C)
+        n = idx["n_instances"]
+        home = np.asarray(idx["soa"])[6, :n].view(np.int32)
+        csr = np.asarray(idx["csr"])[0]
+        cell_of_row = np.searchsorted(csr, np.arange(n), side="right") - 1
+        # axis-0 key is (x*C + y)*C + z == the home id layout
+        assert (home == cell_of_row).all()
+
+
+class TestTileVsOracle:
+    @pytest.mark.parametrize("grid_c", [16, 32])
+    def test_matches_march_oracle(self, scene_tree, grid_c):
+        images, c2ws, focal = render_synthetic_scene("test", 2, 48, True, 2.0, 6.0)
+        vr = VolumeRenderer(scene_tree, step_size=1e-4)
+        tr = TileRenderer(scene_tree, step_size=1e-4, grid_c=grid_c)
+        for c2w in c2ws:
+            ref = np.clip(vr.render_persp(c2w, 48, 48, focal), 0, 1)
+            out = np.clip(tr.render_persp(c2w, 48, 48, focal), 0, 1)
+            psnr = _psnr(out, ref)
+            assert psnr > 45.0, f"grid_c {grid_c}: tile vs oracle PSNR {psnr:.2f}"
+
+    def test_fast_mode_thresholds(self, scene_tree):
+        # step 1e-4: the march oracle's svox-parity eps drift (t += eps per
+        # segment) stays small; at 1e-3 the oracle itself displaces content
+        # (the tile path computes exact segment entries).
+        images, c2ws, focal = render_synthetic_scene("test", 1, 32, True, 2.0, 6.0)
+        tr = TileRenderer(
+            scene_tree, step_size=1e-4, sigma_thresh=1e-2, stop_thresh=1e-2
+        )
+        vr = VolumeRenderer(scene_tree, step_size=1e-4)
+        ref = np.clip(vr.render_persp(c2ws[0], 32, 32, focal, fast=True), 0, 1)
+        out = np.clip(tr.render_persp(c2ws[0], 32, 32, focal), 0, 1)
+        assert _psnr(out, ref) > 35.0
+
+    def test_non_tile_multiple_size(self, scene_tree):
+        images, c2ws, focal = render_synthetic_scene("test", 1, 40, True, 2.0, 6.0)
+        tr = TileRenderer(scene_tree, step_size=1e-4)
+        out = tr.render_persp(c2ws[0], 40, 40, focal)
+        assert out.shape == (40, 40, 3)
+        vr = VolumeRenderer(scene_tree, step_size=1e-4)
+        ref = np.clip(vr.render_persp(c2ws[0], 40, 40, focal), 0, 1)
+        assert _psnr(np.clip(out, 0, 1), ref) > 45.0
+
+    def test_empty_tree_renders_background(self):
+        from plenoctree_tpu.octree import N3Tree
+
+        tree = N3Tree(data_dim=4, depth_limit=2, radius=1.0, center=(0, 0, 0))
+        tr = TileRenderer(tree)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = 3.0
+        out = tr.render_persp(c2w, 16, 16, 16.0)
+        assert np.allclose(out, 1.0)
