@@ -156,12 +156,15 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64):
 # ---------------------------------------------------------------------------
 
 
-def _phase1(csr, base, o4, d4, tmin4, tmax4, grid_c, w1cap, rcap):
+def _phase1(csr, base, o4, d4, span_lo, span_hi, any_hit, grid_c, w1cap, rcap):
     """One tile's candidate row ranges, front-to-back slab order.
 
-    o4/d4 [4, 3]: the tile's corner rays (tree space, unit dn). Returns
-    (runs_start [rcap], runs_len [rcap], n_total, rev) where rev flags
-    that lateral-2 chunks should be consumed back-to-front.
+    o4/d4 [4, 3]: the tile's corner rays (tree space, unit dn).
+    span_lo/span_hi: conservative t-span over the tile's FULL ray set;
+    any_hit: whether any tile ray intersects the volume at all (exact
+    gate — off-box tiles emit zero ranges). Returns (runs_start [rcap],
+    runs_len [rcap], n_total, rev) where rev flags that lateral-2 chunks
+    should be consumed back-to-front.
     """
     C = grid_c
     min_abs = jnp.min(jnp.abs(d4), axis=0)
@@ -185,12 +188,10 @@ def _phase1(csr, base, o4, d4, tmin4, tmax4, grid_c, w1cap, rcap):
     tb = (plane_hi[:, None] - op[None, :, 0]) / safe_d[None, :, 0]
     t_in = jnp.minimum(ta, tb)
     t_out = jnp.maximum(ta, tb)
-    # Slab pruning via a conservative tile-level t-span: the corner span
-    # hull when every corner crosses the box, the whole volume otherwise.
-    all_valid = jnp.all(tmax4 > tmin4)
-    span_lo = jnp.where(all_valid, jnp.maximum(jnp.min(tmin4), 0.0), 0.0)
-    span_hi = jnp.where(all_valid, jnp.max(tmax4), 4.0)
-    slab_valid = jnp.any((t_in <= span_hi) & (t_out >= span_lo), axis=1)  # [C]
+    # Slab pruning via the tile's conservative t-span (over ALL rays).
+    slab_valid = (
+        jnp.any((t_in <= span_hi) & (t_out >= span_lo), axis=1) & any_hit
+    )  # [C]
 
     # Lateral footprint: corner positions at both plane crossings.
     ts = jnp.stack([t_in, t_out], axis=-1)  # [C, 4, 2]
@@ -456,6 +457,7 @@ class TileRenderer:
         )
         self._p1_cache = {}
         self._p2_cache = {}
+        self._frame_cache = {}
 
     # -- jit caches ---------------------------------------------------------
 
@@ -543,22 +545,36 @@ class TileRenderer:
             self._p2_cache[key] = jax.jit(call)
         return self._p2_cache[key]
 
-    # -- ray setup ----------------------------------------------------------
+    # -- whole-frame device function ----------------------------------------
 
-    def _tile_rays(self, c2w, height, width, fx):
-        """Host ray setup -> per-tile world ray arrays (edge-padded)."""
-        from plenoctree_tpu.data.rays import generate_rays
+    def _frame_fn(self, height, width, fx, rcap):
+        """One jitted (c2w, soa, csr, base, extra) -> (img, n_max) frame.
+
+        Everything — ray generation, tree-space transforms, SH basis,
+        phase 1, the Pallas kernel, image assembly — runs in ONE device
+        dispatch so the host only ships a 4x4 pose in and the image out
+        (the axon tunnel charges ~28 ms per round trip). soa stays an
+        argument: jit must not close over multi-GB arrays (CLAUDE.md).
+        """
+        key = (height, width, float(fx), rcap)
+        if key in self._frame_cache:
+            return self._frame_cache[key]
 
         hp = -(-height // TILE) * TILE
         wp = -(-width // TILE) * TILE
-        # Rays at the TRUE size (principal point at the true center), then
-        # edge-pad to the tile grid; padded rays render and crop away.
-        rays = generate_rays(width, height, fx, np.asarray(c2w, np.float32)[None])
-        o = rays.origins.reshape(height, width, 3).astype(np.float32)
-        d = rays.directions.reshape(height, width, 3).astype(np.float32)
-        if hp != height or wp != width:
-            o = np.pad(o, ((0, hp - height), (0, wp - width), (0, 0)), mode="edge")
-            d = np.pad(d, ((0, hp - height), (0, wp - width), (0, 0)), mode="edge")
+        n_tiles = (hp // TILE) * (wp // TILE)
+        w1cap = self.w1cap or int(
+            min(self.grid_c, np.ceil(np.sqrt(3) * TILE / fx * self.grid_c) + 3)
+        )
+        corners = np.array([0, TILE - 1, TILE * (TILE - 1), RAYS - 1], np.int32)
+        nc = self.n_channels
+        p1 = jax.vmap(
+            functools.partial(
+                _phase1, grid_c=self.grid_c, w1cap=w1cap, rcap=rcap
+            ),
+            in_axes=(None, None, 0, 0, 0, 0, 0),
+        )
+        p2 = self._get_p2(n_tiles, rcap)
 
         def tilize(x):
             return (
@@ -567,85 +583,95 @@ class TileRenderer:
                 .reshape(-1, RAYS, 3)
             )
 
-        return tilize(o), tilize(d), hp, wp
+        def frame(c2w, soa, csr, base, extra_data):
+            # Pinhole rays at the TRUE size (principal point at the true
+            # center): edge-pad to the tile grid via clamped pixel coords.
+            px = jnp.minimum(jnp.arange(wp, dtype=jnp.float32), width - 1.0)
+            py = jnp.minimum(jnp.arange(hp, dtype=jnp.float32), height - 1.0)
+            x, y = jnp.meshgrid(px, py, indexing="xy")
+            cam_dirs = jnp.stack(
+                [(x - width * 0.5) / fx, -(y - height * 0.5) / fx, -jnp.ones_like(x)],
+                axis=-1,
+            )
+            d_world = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], cam_dirs)
+            d_world = tilize(d_world)  # [T, RAYS, 3]
+            viewdirs = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+
+            o = jnp.broadcast_to(
+                c2w[:3, 3] * self.invradius + self.offset, d_world.shape
+            )
+            d = viewdirs * self.invradius
+            delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
+            dn = d * delta_scale[..., None]
+            safe_dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+            invd = 1.0 / safe_dn
+            t0 = (0.0 - o) * invd
+            t1 = (1.0 - o) * invd
+            tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0) + 1e-5
+            tmax = jnp.min(jnp.maximum(t0, t1), -1) - 1e-5
+            basis = _ray_basis(
+                self.fmt, self.basis_dim, viewdirs.reshape(-1, 3), extra_data
+            ).reshape(n_tiles, RAYS, -1)
+
+            ray_ok = tmax > tmin  # [T, RAYS]
+            any_hit = jnp.any(ray_ok, axis=1)
+            span_lo = jnp.min(jnp.where(ray_ok, tmin, jnp.inf), axis=1)
+            span_hi = jnp.max(jnp.where(ray_ok, tmax, -jnp.inf), axis=1)
+            runs_start, runs_len, n_total, rev = p1(
+                csr, base, o[:, corners], dn[:, corners],
+                span_lo, span_hi, any_hit,
+            )
+            n_ranges = jnp.minimum(n_total, rcap).astype(jnp.int32)
+            meta = jnp.stack(
+                [n_ranges, rev, jnp.zeros_like(rev), jnp.zeros_like(rev)], axis=-1
+            )
+            mean_d = jnp.mean(dn, axis=1)
+            mdir = jnp.concatenate(
+                [mean_d, jnp.zeros((n_tiles, 1), jnp.float32)], axis=-1
+            )[:, None, :]
+            aux = jnp.stack(
+                [delta_scale, tmin, tmax, jnp.zeros_like(tmin)], axis=-1
+            )
+            pad1 = jnp.zeros((n_tiles, RAYS, 1), jnp.float32)
+            out = p2(
+                meta[:, None, :],
+                runs_start[:, None, :],
+                runs_len[:, None, :],
+                jnp.concatenate([o, pad1], axis=-1),
+                jnp.concatenate([invd, pad1], axis=-1),
+                jnp.concatenate([dn, pad1], axis=-1),
+                aux,
+                mdir,
+                basis,
+                soa,
+            )
+            rgb = out[:, :, :nc]
+            light = out[:, :, nc]
+            img = rgb + light[..., None] * self.opts.background_brightness
+            img = (
+                img.reshape(hp // TILE, wp // TILE, TILE, TILE, nc)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(hp, wp, nc)
+            )
+            return img[:height, :width], jnp.max(n_total)
+
+        fn = jax.jit(frame)
+        self._frame_cache[key] = fn
+        return fn
 
     def render_persp(self, c2w, height, width, fx):
         """Render an image [H, W, 3] (numpy, float32)."""
-        ot, dt, hp, wp = self._tile_rays(c2w, height, width, fx)
-        n_tiles = ot.shape[0]
-
-        viewdirs = dt / np.linalg.norm(dt, axis=-1, keepdims=True)
-        o = jnp.asarray(ot) * self.invradius + self.offset
-        d = jnp.asarray(viewdirs) * self.invradius
-        delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
-        dn = d * delta_scale[..., None]
-        safe_dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
-        invd = 1.0 / safe_dn
-        t0 = (0.0 - o) * invd
-        t1 = (1.0 - o) * invd
-        tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0) + 1e-5
-        tmax = jnp.min(jnp.maximum(t0, t1), -1) - 1e-5
-        basis = _ray_basis(
-            self.fmt,
-            self.basis_dim,
-            jnp.asarray(viewdirs.reshape(-1, 3)),
-            self.extra_data,
-        ).reshape(n_tiles, RAYS, -1)
-
-        corners = np.array([0, TILE - 1, TILE * (TILE - 1), RAYS - 1], np.int32)
-        # Lateral-1 window bound: tile angular footprint in cells + pads.
-        w1cap = self.w1cap or int(
-            min(self.grid_c, np.ceil(np.sqrt(3) * TILE / fx * self.grid_c) + 3)
-        )
-
-        rcap = self.rcap
+        idx = self.index
+        extra = self.extra_data
         while True:
-            runs_start, runs_len, n_total, rev = self._get_p1(w1cap, rcap)(
-                self.index["csr"],
-                self.index["base"],
-                o[:, corners],
-                dn[:, corners],
-                tmin[:, corners],
-                tmax[:, corners],
+            fn = self._frame_fn(height, width, fx, self.rcap)
+            img, n_max = fn(
+                jnp.asarray(np.asarray(c2w, np.float32)),
+                idx["soa"], idx["csr"], idx["base"], extra,
             )
-            n_total_h = np.asarray(n_total)
-            if n_total_h.max(initial=0) <= rcap or rcap >= 4096:
-                break
-            rcap = int(min(4096, 2 * rcap))
-
-        n_ranges = jnp.minimum(n_total, rcap).astype(jnp.int32)
-        meta = jnp.stack(
-            [n_ranges, rev, jnp.zeros_like(rev), jnp.zeros_like(rev)], axis=-1
-        )
-        mean_d = jnp.mean(dn, axis=1)  # [T, 3]
-        mdir = jnp.concatenate(
-            [mean_d, jnp.zeros((n_tiles, 1), jnp.float32)], axis=-1
-        )[:, None, :]
-        aux = jnp.stack(
-            [delta_scale, tmin, tmax, jnp.zeros_like(tmin)], axis=-1
-        )  # [T, RAYS, 4]
-
-        pad1 = jnp.zeros((n_tiles, RAYS, 1), jnp.float32)
-        out = self._get_p2(n_tiles, rcap)(
-            meta[:, None, :],
-            runs_start[:, None, :],
-            runs_len[:, None, :],
-            jnp.concatenate([o, pad1], axis=-1),
-            jnp.concatenate([invd, pad1], axis=-1),
-            jnp.concatenate([dn, pad1], axis=-1),
-            aux,
-            mdir,
-            basis,
-            self.index["soa"],
-        )
-        out = np.asarray(out)
-        nc = self.n_channels
-        rgb = out[:, :, :nc]
-        light = out[:, :, nc]
-        img = rgb + light[..., None] * self.opts.background_brightness
-        img = (
-            img.reshape(hp // TILE, wp // TILE, TILE, TILE, nc)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(hp, wp, nc)
-        )
-        return img[:height, :width]
+            img = np.asarray(img)
+            if int(n_max) <= self.rcap or self.rcap >= 4096:
+                return img
+            # Sticky growth: saturated tiles dropped far runs — re-render
+            # with more slots (a new compile; rare, persists per renderer).
+            self.rcap = int(min(4096, 2 * self.rcap))
