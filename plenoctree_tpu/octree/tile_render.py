@@ -193,14 +193,17 @@ def _phase1(csr, base, o4, d4, span_lo, span_hi, any_hit, grid_c, w1cap, rcap):
         jnp.any((t_in <= span_hi) & (t_out >= span_lo), axis=1) & any_hit
     )  # [C]
 
-    # Lateral footprint: corner positions at both plane crossings.
+    # Lateral footprint: corner positions at both plane crossings. No cell
+    # padding is needed: a hit only fires in its segment-midpoint's cell,
+    # and midpoints lie ON tile rays, strictly inside this exact hull —
+    # only a float epsilon guards the floor() at the window boundary.
     ts = jnp.stack([t_in, t_out], axis=-1)  # [C, 4, 2]
     lat = op[None, :, None, 1:] + ts[..., None] * dp[None, :, None, 1:]  # [C,4,2,2]
     lat = jnp.clip(lat, -1.0, 2.0)  # keep the i32 cell math in range
     lat_lo = jnp.min(lat, axis=(1, 2))  # [C, 2]
     lat_hi = jnp.max(lat, axis=(1, 2))
-    v_lo = jnp.floor(lat_lo * C).astype(jnp.int32) - 1
-    v_hi = jnp.floor(lat_hi * C).astype(jnp.int32) + 1
+    v_lo = jnp.floor(lat_lo * C - 1e-4).astype(jnp.int32)
+    v_hi = jnp.floor(lat_hi * C + 1e-4).astype(jnp.int32)
     v_lo = jnp.clip(v_lo, 0, C - 1)
     v_hi = jnp.clip(v_hi, 0, C - 1)
 
@@ -432,6 +435,7 @@ class TileRenderer:
         rcap=256,
         w1cap=None,
         interpret=None,
+        output="f32",
     ):
         self.tree = tree
         self.opts = RenderOptions(
@@ -455,6 +459,7 @@ class TileRenderer:
         self.interpret = (
             jax.default_backend() != "tpu" if interpret is None else interpret
         )
+        self.output = output  # "f32" (eval/parity) | "u8" (serving)
         self._p1_cache = {}
         self._p2_cache = {}
         self._frame_cache = {}
@@ -652,25 +657,43 @@ class TileRenderer:
                 img.reshape(hp // TILE, wp // TILE, TILE, TILE, nc)
                 .transpose(0, 2, 1, 3, 4)
                 .reshape(hp, wp, nc)
-            )
-            return img[:height, :width], jnp.max(n_total)
+            )[:height, :width]
+            n_max = jnp.max(n_total)
+            if self.output == "u8":
+                # One packed u8 payload (image + n_max bytes): the tunnel
+                # charges ~28 ms per fetch and ~4 ms/MB, so one small
+                # transfer replaces a float image + a scalar round trip.
+                img8 = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+                tail = jax.lax.bitcast_convert_type(
+                    n_max[None], jnp.uint8
+                ).reshape(-1)
+                return jnp.concatenate([img8.reshape(-1), tail])
+            return img, n_max
 
         fn = jax.jit(frame)
         self._frame_cache[key] = fn
         return fn
 
     def render_persp(self, c2w, height, width, fx):
-        """Render an image [H, W, 3] (numpy, float32)."""
+        """Render an image [H, W, nc] (numpy; float32, or uint8 when the
+        renderer was constructed with output="u8")."""
         idx = self.index
         extra = self.extra_data
         while True:
             fn = self._frame_fn(height, width, fx, self.rcap)
-            img, n_max = fn(
+            out = fn(
                 jnp.asarray(np.asarray(c2w, np.float32)),
                 idx["soa"], idx["csr"], idx["base"], extra,
             )
-            img = np.asarray(img)
-            if int(n_max) <= self.rcap or self.rcap >= 4096:
+            if self.output == "u8":
+                payload = np.asarray(out)
+                img = payload[:-4].reshape(height, width, self.n_channels)
+                n_max = int(payload[-4:].view(np.int32)[0])
+            else:
+                img, n_max = out
+                img = np.asarray(img)
+                n_max = int(n_max)
+            if n_max <= self.rcap or self.rcap >= 4096:
                 return img
             # Sticky growth: saturated tiles dropped far runs — re-render
             # with more slots (a new compile; rare, persists per renderer).

@@ -101,7 +101,7 @@ def main():
     if which == "tile":
         thr = 1e-2 if fast else 0.0
         rend = TileRenderer(
-            tree, sigma_thresh=thr, stop_thresh=thr, grid_c=grid_c
+            tree, sigma_thresh=thr, stop_thresh=thr, grid_c=grid_c, output="u8"
         )
         print(
             f"tile renderer: C={grid_c} instances={rend.index['n_instances']}"
