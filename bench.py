@@ -37,7 +37,7 @@ def main():
     from plenoctree_tpu import engine
     from plenoctree_tpu.data import get_dataset
     from plenoctree_tpu.models import get_model_state
-    from plenoctree_tpu.parallel import make_mesh, shard_pytree_batch
+    from plenoctree_tpu.parallel import make_mesh, prefetch_to_device, shard_pytree_batch
     from plenoctree_tpu.parallel.partition import shard_train_state
     from plenoctree_tpu.utils.config import default_config
 
@@ -66,16 +66,18 @@ def main():
     ds = get_dataset("train", cfg, prefetch=True)
     rng = random.PRNGKey(1)
 
+    # Device prefetch (parity: flax prefetch_to_device(dataset, 3) in the
+    # reference train loop) — the step loop never blocks on host->device.
+    batches = prefetch_to_device(ds, mesh, size=3)
+
     # Warmup (compile + first steps).
     for _ in range(5):
-        batch = shard_pytree_batch(next(ds), mesh)
-        state, stats, _ = train_step(state, batch, rng)
+        state, stats, _ = train_step(state, next(batches), rng)
     jax.block_until_ready(stats.loss)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        batch = shard_pytree_batch(next(ds), mesh)
-        state, stats, _ = train_step(state, batch, rng)
+        state, stats, _ = train_step(state, next(batches), rng)
     jax.block_until_ready(stats.loss)
     dt = time.perf_counter() - t0
 

@@ -26,7 +26,11 @@ from plenoctree_tpu import engine
 from plenoctree_tpu.data import get_dataset
 from plenoctree_tpu.models import get_model_state
 from plenoctree_tpu.ops.metrics import compute_psnr, compute_ssim
-from plenoctree_tpu.parallel import make_mesh, replicate_pytree, shard_pytree_batch
+from plenoctree_tpu.parallel import (
+    make_mesh,
+    prefetch_to_device,
+    replicate_pytree,
+)
 from plenoctree_tpu.utils import checkpoints as ckpt_utils
 from plenoctree_tpu.utils import config as config_lib
 from plenoctree_tpu.utils import io as io_utils
@@ -84,13 +88,13 @@ def main(unused_argv):
     gc.disable()
     stats_trace = []
     reset_timer = True
-    for step, batch in zip(range(init_step, cfg.max_steps + 1), dataset):
+    batches = prefetch_to_device(dataset, mesh)
+    for step, batch in zip(range(init_step, cfg.max_steps + 1), batches):
         if reset_timer:
             t_loop_start = time.time()
             reset_timer = False
         if cfg.profile_start_step and step == cfg.profile_start_step:
             jax.profiler.start_trace(os.path.join(cfg.train_dir, "profile"))
-        batch = shard_pytree_batch(batch, mesh)
         state, stats, lr = train_step(state, batch, rng)
         if (
             cfg.profile_start_step

@@ -63,11 +63,20 @@ def render_synthetic_scene(split, n_views, resolution, white_bkgd, near, far):
     """Render n_views orbit cameras at `resolution`^2; returns
     (images [N,H,W,3], camtoworlds [N,4,4], focal)."""
     radius = 3.2
-    phis = {"train": -25.0, "val": -32.0, "test": -40.0}.get(split, -40.0)
+    # Train views sweep the elevation band that contains the held-out
+    # splits (real blender captures cover the upper hemisphere too) —
+    # otherwise test views sit in pure-extrapolation territory and NeRF
+    # floaters dominate the metric.
     offset = {"train": 0.0, "val": 9.0, "test": 15.0}.get(split, 15.0)
     thetas = np.linspace(0, 360, n_views, endpoint=False) + offset
+    if split == "train":
+        phis = -45.0 + 37.0 * ((np.arange(n_views) * 5) % n_views) / max(
+            n_views - 1, 1
+        )
+    else:
+        phis = np.full(n_views, {"val": -32.0}.get(split, -40.0))
     camtoworlds = np.stack(
-        [pose_spherical(th, phis, radius) for th in thetas], axis=0
+        [pose_spherical(th, ph, radius) for th, ph in zip(thetas, phis)], axis=0
     ).astype(np.float32)
     focal = 1.1 * resolution
     rays = generate_rays(resolution, resolution, focal, camtoworlds)

@@ -265,6 +265,7 @@ def _tile_kernel(
     n_channels,
     sigma_row,
     grid_c,
+    rays,
     step_eps,
     stop_thresh,
     od_cap,
@@ -404,11 +405,11 @@ def _tile_kernel(
         jnp.int32(0),
         jnp.int32(0),
         jnp.int32(0),
-        jnp.zeros((RAYS, 1), jnp.float32),
-        jnp.zeros((RAYS, n_channels), jnp.float32),
+        jnp.zeros((rays, 1), jnp.float32),
+        jnp.zeros((rays, n_channels), jnp.float32),
     )
     _, _, _, cum, acc = jax.lax.while_loop(cond, body, init)
-    pad = jnp.zeros((RAYS, 8 - n_channels - 1), jnp.float32)
+    pad = jnp.zeros((rays, 8 - n_channels - 1), jnp.float32)
     out_ref[0] = jnp.concatenate([acc, jnp.exp(-cum), pad], axis=1)
 
 
@@ -436,6 +437,7 @@ class TileRenderer:
         w1cap=None,
         interpret=None,
         output="f32",
+        tile=TILE,
     ):
         self.tree = tree
         self.opts = RenderOptions(
@@ -460,30 +462,16 @@ class TileRenderer:
             jax.default_backend() != "tpu" if interpret is None else interpret
         )
         self.output = output  # "f32" (eval/parity) | "u8" (serving)
-        self._p1_cache = {}
+        self.tile = tile  # pixels per tile side
+        self.rays = tile * tile
         self._p2_cache = {}
         self._frame_cache = {}
 
     # -- jit caches ---------------------------------------------------------
 
-    def _get_p1(self, w1cap, rcap):
-        key = (w1cap, rcap)
-        if key not in self._p1_cache:
-            self._p1_cache[key] = jax.jit(
-                jax.vmap(
-                    functools.partial(
-                        _phase1,
-                        grid_c=self.grid_c,
-                        w1cap=w1cap,
-                        rcap=rcap,
-                    ),
-                    in_axes=(None, None, 0, 0, 0, 0),
-                )
-            )
-        return self._p1_cache[key]
-
     def _get_p2(self, n_tiles, rcap):
         key = (n_tiles, rcap)
+        RAYS = self.rays
         if key not in self._p2_cache:
             fields = int(self.index["soa"].shape[0])
             od_cap = (
@@ -498,6 +486,7 @@ class TileRenderer:
                 n_channels=self.n_channels,
                 sigma_row=int(self.index["sigma_row"]),
                 grid_c=self.grid_c,
+                rays=self.rays,
                 step_eps=self.opts.step_size,
                 stop_thresh=self.opts.stop_thresh,
                 od_cap=od_cap,
@@ -565,6 +554,8 @@ class TileRenderer:
         if key in self._frame_cache:
             return self._frame_cache[key]
 
+        TILE = self.tile
+        RAYS = self.rays
         hp = -(-height // TILE) * TILE
         wp = -(-width // TILE) * TILE
         n_tiles = (hp // TILE) * (wp // TILE)

@@ -101,58 +101,22 @@ def piecewise_constant_pdf(key, bins, weights, num_samples, randomized):
     return _inverse_cdf(bins, weights, u)
 
 
-def _sorted_uniform(key, shape):
-    """Sorted U(0,1) order statistics WITHOUT a sort.
-
-    Normalized cumulative sums of i.i.d. exponentials are distributed as
-    sorted uniforms; a cumsum replaces the O(n log^2 n) on-device sort.
-    (Same distribution as sorting i.i.d. draws, different RNG stream.)
-    """
-    e = -jnp.log1p(-random.uniform(key, shape[:-1] + (shape[-1] + 1,)))
-    s = jnp.cumsum(e, axis=-1)
-    return s[..., :-1] / jnp.maximum(s[..., -1:], 1e-12)
-
-
-def _merge_sorted(a, b):
-    """Merge per-row sorted arrays a [.., n] and b [.., m] -> [.., n+m].
-
-    Dense rank arithmetic instead of sorting the concatenation: XLA fuses
-    the broadcast-compare-reduce chains on the VPU with no gathers and no
-    sort network (ties: all of `a` before equal elements of `b`).
-    """
-    n, m = a.shape[-1], b.shape[-1]
-    pos_a = jnp.arange(n) + jnp.sum(b[..., None, :] < a[..., :, None], axis=-1)
-    pos_b = jnp.arange(m) + jnp.sum(a[..., None, :] <= b[..., :, None], axis=-1)
-    j = jnp.arange(n + m)
-    out = jnp.sum(
-        jnp.where(pos_a[..., None, :] == j[:, None], a[..., None, :], 0.0), axis=-1
-    ) + jnp.sum(
-        jnp.where(pos_b[..., None, :] == j[:, None], b[..., None, :], 0.0), axis=-1
-    )
-    return out
-
-
 def sample_pdf(key, bins, weights, origins, directions, z_vals, num_samples, randomized):
     """Hierarchical resampling: draw fine samples and merge with coarse z_vals.
 
-    Parity: nerf_sh/nerf/model_utils.py:289-314, except the fine samples are
-    drawn as sorted-uniform order statistics (equal in distribution to the
-    reference's sorted i.i.d. draws) so the sorted union comes from a cumsum
-    + rank-merge rather than an on-device sort.
+    Parity: nerf_sh/nerf/model_utils.py:289-314 — i.i.d. uniform draws and a
+    sorted union via jnp.sort. (Sort-free merges — rank arithmetic with
+    equality-scatter, gathers, or prefix-max — were each tried and measured;
+    the dense variants silently miscompiled at chunk 8192 inside the full
+    render program on the axon TPU backend, so the sort stays until that
+    compiler bug is resolved. See git history for the validated repro.)
 
     Returns:
       z_vals: [batch, num_coarse + num_fine] sorted union.
       points: [batch, num_coarse + num_fine, 3].
     """
-    u_shape = weights.shape[:-1] + (num_samples,)
-    if randomized:
-        key, sub = random.split(key)
-        u = _sorted_uniform(sub, u_shape)
-    else:
-        u = jnp.linspace(0.0, 1.0 - jnp.finfo(jnp.float32).eps, num_samples)
-        u = jnp.broadcast_to(u, u_shape)
-    z_samples = _inverse_cdf(bins, weights, u)
-    z_vals = _merge_sorted(z_vals, z_samples)
+    z_samples = piecewise_constant_pdf(key, bins, weights, num_samples, randomized)
+    z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
     return z_vals, cast_rays(z_vals, origins, directions)
 
 

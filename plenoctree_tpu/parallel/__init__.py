@@ -11,6 +11,7 @@ from plenoctree_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
     replicate_sharding,
+    prefetch_to_device,
     shard_pytree_batch,
     replicate_pytree,
     pad_to_multiple,

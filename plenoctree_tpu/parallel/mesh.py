@@ -58,6 +58,33 @@ def replicate_pytree(tree, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def prefetch_to_device(iterator, mesh, size=3):
+    """Device-prefetch generator: ship batch k+`size` while step k runs.
+
+    Parity: flax.jax_utils.prefetch_to_device(dataset, 3) in the reference
+    train loop (nerf_sh/train.py:184). A daemon thread pulls host batches
+    and device_puts them (data-axis sharded) into a bounded queue, so the
+    train loop never blocks on host->device transfer.
+    """
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=size)
+    done = object()
+
+    def worker():
+        for batch in iterator:
+            q.put(shard_pytree_batch(batch, mesh))
+        q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        yield item
+
+
 def pad_to_multiple(x, multiple, axis=0):
     """Edge-pad `x` along `axis` to a multiple; returns (padded, pad_amount).
 

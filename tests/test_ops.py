@@ -178,24 +178,6 @@ class TestSampling:
         assert (np.diff(z, axis=-1) >= 0).all()
 
 
-    def test_merge_sorted_exact(self):
-        from plenoctree_tpu.ops.sampling import _merge_sorted
-        rng = np.random.default_rng(0)
-        a = np.sort(rng.normal(size=(5, 16)), axis=-1).astype(np.float32)
-        b = np.sort(rng.normal(size=(5, 32)), axis=-1).astype(np.float32)
-        out = np.asarray(_merge_sorted(jnp.asarray(a), jnp.asarray(b)))
-        ref = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
-        np.testing.assert_allclose(out, ref, atol=0)
-
-    def test_sorted_uniform_is_sorted_and_uniform(self):
-        from plenoctree_tpu.ops.sampling import _sorted_uniform
-        u = np.asarray(_sorted_uniform(random.PRNGKey(3), (256, 64)))
-        assert (np.diff(u, axis=-1) >= 0).all()
-        assert (u >= 0).all() and (u <= 1).all()
-        # pooled samples should be ~U(0,1): check mean/var loosely
-        assert abs(u.mean() - 0.5) < 0.01
-        assert abs(u.var() - 1.0 / 12) < 0.005
-
     def test_noise_disabled_paths(self):
         raw = jnp.ones((3, 2))
         assert (np.asarray(add_gaussian_noise(random.PRNGKey(0), raw, None, True)) == 1).all()

@@ -91,6 +91,18 @@ class TestTileVsOracle:
         ref = np.clip(vr.render_persp(c2ws[0], 40, 40, focal), 0, 1)
         assert _psnr(np.clip(out, 0, 1), ref) > 45.0
 
+    def test_tile32_and_u8_output(self, scene_tree):
+        images, c2ws, focal = render_synthetic_scene("test", 1, 64, True, 2.0, 6.0)
+        vr = VolumeRenderer(scene_tree, step_size=1e-4)
+        ref = np.clip(vr.render_persp(c2ws[0], 64, 64, focal), 0, 1)
+        tr = TileRenderer(
+            scene_tree, step_size=1e-4, grid_c=16, tile=32, output="u8"
+        )
+        out = tr.render_persp(c2ws[0], 64, 64, focal)
+        assert out.dtype == np.uint8 and out.shape == (64, 64, 3)
+        psnr = _psnr(out.astype(np.float32) / 255.0, ref)
+        assert psnr > 45.0, f"tile=32/u8 vs oracle PSNR {psnr:.2f}"
+
     def test_empty_tree_renders_background(self):
         from plenoctree_tpu.octree import N3Tree
 
