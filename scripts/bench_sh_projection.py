@@ -40,10 +40,10 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def eval_cross(points, dirs):
         return model.apply(
-            state.params, points, dirs, method=model.eval_points_cross
+            state.variables, points, dirs, method=model.eval_points_raw
         )
 
     def points_fn_cross(points, dirs):
@@ -53,7 +53,7 @@ def main():
     for samples in (int(s) for s in os.environ.get("SHP_SAMPLES", "100,1000,10000").split(",")):
         t0 = time.time()
         rgb, sigma = project_nerf_to_sh(
-            points_fn_cross, 3, pts, samples, random.PRNGKey(1)
+            points_fn_cross, 3, pts, samples, np.random.default_rng(1)
         )
         jax.block_until_ready((rgb, sigma))
         dt = time.time() - t0
