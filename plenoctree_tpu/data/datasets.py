@@ -73,15 +73,22 @@ class Dataset:
         return self
 
     def __next__(self):
+        held = getattr(self, "_requeue", None)
+        if held:
+            return held.pop(0)
         if self._queue is not None:
             return self._queue.get()
         return self._next()
 
     def peek(self):
         if self._queue is not None:
-            while self._queue.empty():
-                pass
-            return {k: v for k, v in self._queue.queue[0].items()}
+            # Blocking get + put-back (no busy-wait); safe because this
+            # dataset has a single consumer thread.
+            item = self._queue.get()
+            batch = {k: v for k, v in item.items()}
+            self._requeue = getattr(self, "_requeue", [])
+            self._requeue.append(item)
+            return batch
         return self._next()
 
     def _fill_queue(self):

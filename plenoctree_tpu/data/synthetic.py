@@ -70,9 +70,11 @@ def render_synthetic_scene(split, n_views, resolution, white_bkgd, near, far):
     offset = {"train": 0.0, "val": 9.0, "test": 15.0}.get(split, 15.0)
     thetas = np.linspace(0, 360, n_views, endpoint=False) + offset
     if split == "train":
-        phis = -45.0 + 37.0 * ((np.arange(n_views) * 5) % n_views) / max(
-            n_views - 1, 1
-        )
+        # Fixed-seed permutation: full elevation coverage for ANY n_views
+        # (a stride pattern aliases when gcd(stride, n_views) > 1) and
+        # decorrelated from the linear azimuth sweep.
+        perm = np.random.default_rng(11).permutation(n_views)
+        phis = -45.0 + 37.0 * perm / max(n_views - 1, 1)
     else:
         phis = np.full(n_views, {"val": -32.0}.get(split, -40.0))
     camtoworlds = np.stack(

@@ -73,15 +73,22 @@ def prefetch_to_device(iterator, mesh, size=3):
     done = object()
 
     def worker():
-        for batch in iterator:
-            q.put(shard_pytree_batch(batch, mesh))
-        q.put(done)
+        # An exception must reach the consumer: otherwise q.get() below
+        # blocks forever and the train loop hangs silently (ADVICE r2).
+        try:
+            for batch in iterator:
+                q.put(shard_pytree_batch(batch, mesh))
+            q.put(done)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is done:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 
