@@ -14,6 +14,19 @@ from plenoctree_tpu.octree.grid_weight import calculate_grid_weights
 from plenoctree_tpu.ops import sh_project
 from plenoctree_tpu.utils.io import host0_print as h0print
 
+# Device dispatches go through the (possibly remote) runtime with ~0.1-0.5 s
+# round-trip latency each, so point evals use large chunks and a small
+# in-flight pipeline instead of the reference's synchronous 8192-point loop
+# (octree/extraction.py:300-312). 2^17 points x 3 f32 is ~1.5 MB per upload.
+_POINT_CHUNK = 131072
+_PIPELINE_DEPTH = 8
+
+
+def _point_chunk(cfg):
+    return max(int(getattr(cfg, "point_chunk", 0) or 0), 0) or max(
+        cfg.chunk, _POINT_CHUNK
+    )
+
 
 def _grid_points(reso, offset, invradius, z_min=None, z_max=None):
     """World-coord centers of a reso^3 grid covering the tree volume."""
@@ -51,6 +64,13 @@ def _eval_sigma(points_fn, grid, chunk, use_viewdirs, mesh=None):
     sigma_only = sigma_only_jit
     num = grid.shape[0]
     out = np.empty(num, np.float32)
+    pending = []  # (i, n, device_or_host_array) — drain with a lag so the
+    # device computes/transfers chunk k while the host prepares k+1..k+D.
+
+    def drain(slot):
+        i, n, arr = slot
+        out[i : i + n] = np.asarray(arr)[:n]
+
     for i in range(0, num, chunk):
         pts = grid[i : i + chunk]
         n = pts.shape[0]
@@ -58,10 +78,14 @@ def _eval_sigma(points_fn, grid, chunk, use_viewdirs, mesh=None):
             pts = np.pad(pts, ((0, chunk - n), (0, 0)), mode="edge")
         dirs = np.zeros_like(pts) if use_viewdirs else None
         try:
-            out[i : i + n] = np.asarray(sigma_only(pts, dirs))[:n]
+            pending.append((i, n, sigma_only(pts, dirs)))
         except jax.errors.TracerArrayConversionError:
             sigma_only = sigma_only_host
-            out[i : i + n] = sigma_only(pts, dirs)[:n]
+            pending.append((i, n, sigma_only(pts, dirs)))
+        if len(pending) > _PIPELINE_DEPTH:
+            drain(pending.pop(0))
+    for slot in pending:
+        drain(slot)
     return out
 
 
@@ -75,7 +99,7 @@ def auto_scale(cfg, center, radius, points_fn, mesh=None):
     offset = 0.5 * (1.0 - center / radius)
     grid = _grid_points(reso, offset, scale, cfg.z_min, cfg.z_max)
 
-    sigmas = _eval_sigma(points_fn, grid, cfg.chunk, cfg.use_viewdirs, mesh)
+    sigmas = _eval_sigma(points_fn, grid, _point_chunk(cfg), cfg.use_viewdirs, mesh)
     approx_delta = 2.0 / reso
     sigma_thresh = -np.log(1.0 - cfg.scale_alpha_thresh) / approx_delta
     mask = sigmas >= sigma_thresh
@@ -95,7 +119,7 @@ def step1_build(cfg, tree, points_fn, dataset, mesh=None):
     grid = _grid_points(reso, tree.offset, tree.invradius, cfg.z_min, cfg.z_max)
     h0print("  init grid", grid.shape)
 
-    sigmas = _eval_sigma(points_fn, grid, cfg.chunk, cfg.use_viewdirs, mesh)
+    sigmas = _eval_sigma(points_fn, grid, _point_chunk(cfg), cfg.use_viewdirs, mesh)
     approx_delta = 2.0 / reso
     sigma_thresh = -np.log(1.0 - cfg.alpha_thresh) / approx_delta
 
@@ -179,50 +203,76 @@ def _make_cell_reducer(cfg, tree, points_fn):
 
 def step2_fill(cfg, tree, points_fn, points_fn_cross=None, mesh=None, rng=None):
     """Antialiased leaf fill: average `samples_per_cell` jittered NeRF
-    samples per leaf (alpha-weighted for RGBA trees)."""
+    samples per leaf (alpha-weighted for RGBA trees).
+
+    Leaf geometry (corners/sizes) is computed ONCE up front — the naive
+    per-chunk `leaf_sample_points` rescans the whole tree (O(L) nonzero +
+    parent walks) every call — and device dispatches are pipelined so the
+    host jitters chunk k+1 while the device evaluates chunk k.
+    """
     h0print("* Step 2: AA", cfg.samples_per_cell)
     rng = rng or np.random.default_rng(20200823)
+    S = cfg.samples_per_cell
 
-    depths = tree.depths
-    leaf_ind = np.nonzero(depths == tree.max_depth)[0]
+    # Hoisted leaf scan: rows into tree.data + world-space corner/size.
+    leaves_all = tree._leaf_nodes()
+    depth_all = tree.parent_depth[leaves_all[:, 0], 1]
+    sel = leaves_all[depth_all == tree.max_depth]
+    corner = tree._cell_corner(sel).astype(np.float64)  # tree coords
+    size = tree._cell_size(sel).astype(np.float64)
 
     if cfg.use_viewdirs:
         chunk_size = max(
-            1, cfg.chunk // (cfg.samples_per_cell * max(cfg.projection_samples // 10, 1))
+            1, cfg.chunk // (S * max(cfg.projection_samples // 10, 1))
         )
     else:
-        chunk_size = max(1, cfg.chunk // cfg.samples_per_cell)
+        chunk_size = max(1, _point_chunk(cfg) // S)
 
     reducer, reducer_host = (
         _make_cell_reducer(cfg, tree, points_fn) if not cfg.use_viewdirs else (None, None)
     )
 
-    for i in range(0, leaf_ind.size, chunk_size):
-        chunk_inds = leaf_ind[i : i + chunk_size]
-        points = tree.leaf_sample_points(chunk_inds, cfg.samples_per_cell, rng)
+    def sample_chunk(lo, hi):
+        u = rng.random((hi - lo, S, 3), dtype=np.float64)
+        t = corner[lo:hi, None, :] + u * size[lo:hi, None, None]
+        return tree.tree2world(t.astype(np.float32))
 
-        if not cfg.use_viewdirs:
-            n = points.shape[0]
-            if n < chunk_size:  # pad tail to keep one compiled shape
+    def write(lo, hi, rgba):
+        rows = sel[lo:hi]
+        tree.data[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]] = np.asarray(
+            rgba
+        )[: hi - lo].astype(tree.data.dtype)
+
+    if not cfg.use_viewdirs:
+        import jax
+
+        pending = []
+        for lo in range(0, sel.shape[0], chunk_size):
+            hi = min(lo + chunk_size, sel.shape[0])
+            points = sample_chunk(lo, hi)
+            if hi - lo < chunk_size:  # pad tail to keep one compiled shape
                 points = np.pad(
-                    points, ((0, chunk_size - n), (0, 0), (0, 0)), mode="edge"
+                    points, ((0, chunk_size - (hi - lo)), (0, 0), (0, 0)), mode="edge"
                 )
-            import jax
-
             try:
-                rgba = np.asarray(reducer(points))[:n]
+                pending.append((lo, hi, reducer(points)))
             except jax.errors.TracerArrayConversionError:
                 # Non-traceable points_fn (e.g. analytic test doubles).
-                rgba = np.asarray(reducer_host(points))[:n]
-            tree.set_leaf_data(chunk_inds, rgba.astype(tree.data.dtype))
-            continue
+                pending.append((lo, hi, reducer_host(points)))
+            if len(pending) > _PIPELINE_DEPTH:
+                write(*pending.pop(0))
+        for slot in pending:
+            write(*slot)
+        return tree
 
-        # Vanilla-NeRF path: Monte-Carlo SH projection (host-side reduce).
-        points = points.reshape(-1, 3)
+    # Vanilla-NeRF path: Monte-Carlo SH projection (host-side reduce).
+    for lo in range(0, sel.shape[0], chunk_size):
+        hi = min(lo + chunk_size, sel.shape[0])
+        points = sample_chunk(lo, hi).reshape(-1, 3)
         rgb, sigma = project_nerf_to_sh(
             points_fn_cross, cfg.sh_deg, points, cfg.projection_samples, rng
         )
         rgba = np.concatenate([rgb, sigma], axis=-1)
-        rgba = rgba.reshape(-1, cfg.samples_per_cell, tree.data_dim).mean(axis=1)
-        tree.set_leaf_data(chunk_inds, rgba.astype(tree.data.dtype))
+        rgba = rgba.reshape(-1, S, tree.data_dim).mean(axis=1)
+        write(lo, hi, rgba)
     return tree

@@ -114,6 +114,12 @@ _flag("autoscale", False, "auto-scale bbox to sigma support")
 _flag("bbox_cube", False, "force the bbox to a cube")
 _flag("bbox_scale", 1.0, "final scale factor on the bbox")
 _flag("scale_alpha_thresh", 0.01, "alpha threshold during autoscale")
+_flag(
+    "point_chunk",
+    0,
+    "points per extraction device dispatch (0 = auto: max(chunk, 131072); "
+    "large chunks amortize dispatch latency on remote/tunneled runtimes)",
+)
 
 # Profiling (TPU-native replacement for the reference's wall-clock-only
 # timings, SURVEY.md §5)
