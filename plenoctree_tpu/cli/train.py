@@ -155,6 +155,9 @@ def main(unused_argv):
                 normalize_disp=cfg.dataset == "llff",
                 chunk=cfg.chunk,
                 mesh=mesh,
+                # The in-train render uses randomized sampling, so the
+                # permutation canary cannot apply (keys are row-indexed).
+                verify_backend=not cfg.randomized,
             )
             if jax.process_index() == 0:
                 timings.write(step)

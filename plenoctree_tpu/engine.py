@@ -149,11 +149,61 @@ def make_eval_points_fn(model, raw_rgb=True, coarse=False):
     return points_fn
 
 
-def render_image(render_fn, rays, rng, normalize_disp=False, chunk=8192, mesh=None):
+# Batch shapes whose compiled programs failed the permutation canary on this
+# backend (observed: the axon TPU relay miscompiles SOME full-model render
+# programs at exactly batch 8192 — correct at 1024/4096/16384 — mixing rows
+# with uninitialized memory). Keyed by (id-of-render_fn-wrapper-free key,
+# batch): we only track batch sizes, the trigger is shape-specific.
+_POISONED_BATCHES = set()
+_CANARY_OK = set()
+
+
+def _to_host(x):
+    """Fetch a possibly multi-process-sharded array to host numpy.
+
+    Single-process arrays (and replicated multi-process ones) are fully
+    addressable and fetch directly; data-sharded arrays in a multi-host run
+    span processes, so reassemble the global value with process_allgather
+    (the reference does the per-host slice bookkeeping by hand,
+    nerf_sh/nerf/utils.py:357-369 — proven here by tests/test_multiprocess.py).
+    """
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def _canary(render_fn, key_0, key_1, host_rays, out, n_real, mesh):
+    """Backend-miscompile detector: rays are independent, so running the SAME
+    compiled program on a row-reversed chunk must return exactly reversed
+    rows. A row-mixing miscompile (uninitialized-memory reads) fails this.
+    Costs one extra execution of one chunk, no extra compile."""
+    rev = types.namedtuple_map(
+        lambda r: np.concatenate([r[:n_real][::-1], r[n_real:]], axis=0), host_rays
+    )
+    ret = render_fn(key_0, key_1, mesh_lib.shard_pytree_batch(rev, mesh))[-1]
+    got = _to_host(ret[0])[:n_real][::-1]
+    return float(np.max(np.abs(got - out[0][:n_real]))) <= 1e-3
+
+
+def render_image(
+    render_fn,
+    rays,
+    rng,
+    normalize_disp=False,
+    chunk=8192,
+    mesh=None,
+    verify_backend=True,
+):
     """Render all pixels of an image in device-sharded chunks.
 
     Parity: nerf_sh/nerf/utils.py:331-381. Chunks are edge-padded to the data
     axis size and placed with NamedSharding; results come back unpadded.
+
+    verify_backend runs a one-time permutation canary per (fn, batch-shape)
+    against backend miscompiles (requires a deterministic render_fn —
+    callers rendering with randomized=True must pass False).
 
     Returns:
       (rgb [H, W, 3], disp [H, W, 1], acc [H, W, 1]) as device arrays.
@@ -171,14 +221,40 @@ def render_image(render_fn, rays, rng, normalize_disp=False, chunk=8192, mesh=No
     # Pad every chunk (incl. the tail) to the full chunk size so the jitted
     # render fn sees ONE static shape — one XLA compile per resolution.
     pad_target = max(chunk, n_data)
+    while pad_target in _POISONED_BATCHES:
+        pad_target *= 2
     for i in range(0, num_rays, chunk):
         chunk_rays = types.namedtuple_map(lambda r: r[i : i + chunk], rays)
         padded = [mesh_lib.pad_to_multiple(r, pad_target) for r in chunk_rays]
         padding = padded[0][1]
-        chunk_rays = types.Rays(*[p[0] for p in padded])
-        chunk_rays = mesh_lib.shard_pytree_batch(chunk_rays, mesh)
+        host_rays = types.Rays(*[p[0] for p in padded])
+        chunk_rays = mesh_lib.shard_pytree_batch(host_rays, mesh)
         ret = render_fn(key_0, key_1, chunk_rays)[-1]
-        out = [np.asarray(x) for x in ret]
+        out = [_to_host(x) for x in ret]
+        canary_key = (id(render_fn), pad_target)
+        if verify_backend and canary_key not in _CANARY_OK:
+            n_real = host_rays[0].shape[0] - padding
+            if _canary(render_fn, key_0, key_1, host_rays, out, n_real, mesh):
+                _CANARY_OK.add(canary_key)
+            else:
+                import warnings
+
+                _POISONED_BATCHES.add(pad_target)
+                warnings.warn(
+                    f"backend miscompile detected at batch {pad_target} "
+                    f"(permutation canary failed); retrying at {pad_target * 2}"
+                )
+                return render_image(
+                    render_fn,
+                    types.namedtuple_map(
+                        lambda r: r.reshape(height, width, -1), rays
+                    ),
+                    rng,
+                    normalize_disp=normalize_disp,
+                    chunk=pad_target * 2,
+                    mesh=mesh,
+                    verify_backend=verify_backend,
+                )
         if padding:
             out = [x[:-padding] for x in out]
         results.append(out)
@@ -192,10 +268,14 @@ def render_image(render_fn, rays, rng, normalize_disp=False, chunk=8192, mesh=No
     )
 
 
-def eval_points(points_fn, points, viewdirs=None, chunk=720720, mesh=None):
+def eval_points(
+    points_fn, points, viewdirs=None, chunk=720720, mesh=None, verify_backend=True
+):
     """Evaluate (rgb, sigma) over a large point set in sharded chunks.
 
     Parity: nerf_sh/nerf/utils.py:282-328. Returns host numpy arrays.
+    Like render_image, a one-time permutation canary per batch shape guards
+    against backend miscompiles (points_fn must be deterministic).
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
@@ -203,18 +283,55 @@ def eval_points(points_fn, points, viewdirs=None, chunk=720720, mesh=None):
     num_points = points.shape[0]
     rgbs, sigmas = [], []
     pad_target = max(chunk, n_data)
+    while pad_target in _POISONED_BATCHES:
+        pad_target *= 2
     for i in range(0, num_points, chunk):
         chunk_points = np.asarray(points[i : i + chunk])
         chunk_dirs = None if viewdirs is None else np.asarray(viewdirs[i : i + chunk])
         chunk_points, padding = mesh_lib.pad_to_multiple(chunk_points, pad_target)
         if chunk_dirs is not None:
             chunk_dirs, _ = mesh_lib.pad_to_multiple(chunk_dirs, pad_target)
-            chunk_dirs = mesh_lib.shard_pytree_batch(chunk_dirs, mesh)
-        chunk_points = mesh_lib.shard_pytree_batch(chunk_points, mesh)
-        rgb, sigma = points_fn(chunk_points, chunk_dirs)
-        rgb, sigma = np.asarray(rgb), np.asarray(sigma)
+        rgb, sigma = _eval_points_chunk(points_fn, chunk_points, chunk_dirs, mesh)
+        canary_key = (id(points_fn), pad_target)
+        if verify_backend and canary_key not in _CANARY_OK:
+            n_real = chunk_points.shape[0] - padding
+            rev_p = np.concatenate(
+                [chunk_points[:n_real][::-1], chunk_points[n_real:]], axis=0
+            )
+            rev_d = None
+            if chunk_dirs is not None:
+                rev_d = np.concatenate(
+                    [chunk_dirs[:n_real][::-1], chunk_dirs[n_real:]], axis=0
+                )
+            rgb2, _ = _eval_points_chunk(points_fn, rev_p, rev_d, mesh)
+            if float(np.max(np.abs(rgb2[:n_real][::-1] - rgb[:n_real]))) <= 1e-3:
+                _CANARY_OK.add(canary_key)
+            else:
+                import warnings
+
+                _POISONED_BATCHES.add(pad_target)
+                warnings.warn(
+                    f"backend miscompile detected at batch {pad_target} "
+                    f"(permutation canary failed); retrying at {pad_target * 2}"
+                )
+                return eval_points(
+                    points_fn,
+                    points,
+                    viewdirs,
+                    chunk=pad_target * 2,
+                    mesh=mesh,
+                    verify_backend=verify_backend,
+                )
         if padding:
             rgb, sigma = rgb[:-padding], sigma[:-padding]
         rgbs.append(rgb)
         sigmas.append(sigma)
     return np.concatenate(rgbs, axis=0), np.concatenate(sigmas, axis=0)
+
+
+def _eval_points_chunk(points_fn, chunk_points, chunk_dirs, mesh):
+    if chunk_dirs is not None:
+        chunk_dirs = mesh_lib.shard_pytree_batch(chunk_dirs, mesh)
+    chunk_points = mesh_lib.shard_pytree_batch(chunk_points, mesh)
+    rgb, sigma = points_fn(chunk_points, chunk_dirs)
+    return _to_host(rgb), _to_host(sigma)

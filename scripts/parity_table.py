@@ -25,9 +25,16 @@ LEVELS = {
         reso=48, n_train=12, sh_deg=1, width=48, depth=3, samples="16 16",
         steps=300, batch=256, grid_depth=6, epochs=10, step_size=1e-3,
     ),
+    # "full" is sized to reproduce the reference's signature (README.md:173-176:
+    # NeRF-SH 26.0 -> raw 25.01 -> opt 25.65): train to convergence, extract
+    # at 256^3. density_scale=8 makes the analytic blobs optically thick
+    # (surface-like occupancy, the class the reference's blender scenes are
+    # in) so visibility masking prunes interiors — the round-2 run at fog
+    # density kept 11.5M of 11.7M leaves and took 1452 s to extract.
     "full": dict(
-        reso=96, n_train=24, sh_deg=2, width=64, depth=4, samples="32 48",
-        steps=1500, batch=1024, grid_depth=7, epochs=20, step_size=1e-4,
+        reso=128, n_train=30, sh_deg=2, width=96, depth=4, samples="32 64",
+        steps=6000, batch=2048, grid_depth=8, epochs=30, step_size=1e-4,
+        density_scale=8,
     ),
 }
 
@@ -68,10 +75,11 @@ def run_level(name):
     )
     out = {}
 
+    dens = cfg.get("density_scale", 1)
     sh(
         "python -c \"from plenoctree_tpu.data.synthetic import write_blender_dataset; "
         f"write_blender_dataset('{data}', n_train={cfg['n_train']}, n_test=3, "
-        f"resolution={cfg['reso']})\""
+        f"resolution={cfg['reso']}, density_scale={dens})\""
     )
     _, out["train_s"] = sh(
         f"python -m nerf_sh.train --dataset blender --data_dir {data} "
