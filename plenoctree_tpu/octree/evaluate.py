@@ -20,9 +20,12 @@ def eval_octree(tree, dataset, cfg, want_lpips=True, want_frames=False):
     else:
         ndc_config = None
 
-    # Pinhole cameras use the Pallas tile renderer (serving path); NDC rays
-    # (per-ray origins break the tile-frustum hull) fall back to the march.
-    if ndc_config is None:
+    # Metrics default to the exact march oracle (per-ray hit ordering, svox
+    # semantics); --fast_eval opts into the Pallas tile renderer — the
+    # serving path, whose within-chunk ordering is mean-direction
+    # approximate (fine for FPS, not for reported PSNR). NDC rays always
+    # march (per-ray origins break the tile-frustum hull).
+    if ndc_config is None and getattr(cfg, "fast_eval", False):
         from plenoctree_tpu.octree.tile_render import TileRenderer
 
         fast = not cfg.no_early_stop

@@ -126,6 +126,19 @@ def alive_mask(rp, carry, opts, K):
     )
 
 
+def overflow_mask(rp, carry, opts, K):
+    """Rays that filled all K contributor slots while still inside the
+    volume and unsaturated: their composite would show background through
+    unmarched geometry. Dense volumetric trees (little empty space) need
+    far more slots than surface-shell trees — drivers regrow K on this."""
+    tmax = rp[5]
+    return (
+        (carry["t"] <= tmax)
+        & (carry["light"] > max(opts.stop_thresh, 1e-4))
+        & (carry["count"] >= K)
+    )
+
+
 def shade(data, cells, dts, count, basis, fmt, basis_dim, bg):
     """Full-K differentiable shading of contributor slots.
 
@@ -182,11 +195,23 @@ class DeferredRenderer:
         assert K % K_STRIP == 0, f"K must be a multiple of {K_STRIP}"
         self.K = K
         self.min_bucket = min_bucket
+        self._build_jits()
+
+    def _build_jits(self):
+        opts = self.opts
         self._march = jax.jit(
             functools.partial(march_while, meta=self.meta, opts=opts),
             static_argnames=("cap",),
         )
         self._alive = jax.jit(functools.partial(alive_mask, opts=opts, K=self.K))
+
+        def alive_over(rp, carry):
+            return (
+                alive_mask(rp, carry, opts=opts, K=self.K),
+                jnp.any(overflow_mask(rp, carry, opts=opts, K=self.K)),
+            )
+
+        self._alive_over = jax.jit(alive_over)
         self._take = jax.jit(lambda tree, sel: jax.tree.map(lambda x: x[sel], tree))
         self._stash = jax.jit(
             lambda dst, src, rows: jax.tree.map(
@@ -194,7 +219,7 @@ class DeferredRenderer:
             )
         )
         self._strip = jax.jit(
-            functools.partial(shade_strip, fmt=fmt, basis_dim=basis_dim)
+            functools.partial(shade_strip, fmt=self.fmt, basis_dim=self.basis_dim)
         )
 
     def _prep(self, origins, dirs):
@@ -236,7 +261,25 @@ class DeferredRenderer:
             seg_budget -= segs
             pass_i += 1
             carry = self._march(self.tables, cur_rp, carry, cap=segs)
-            alive = np.asarray(self._alive(cur_rp, carry))
+            alive_d, over_d = self._alive_over(cur_rp, carry)
+            alive = np.asarray(alive_d)
+            if bool(over_d):
+                # Slot overflow: some ray filled all K contributor slots
+                # while still inside unsaturated volume — compositing now
+                # would show background through unmarched geometry (dense
+                # volumetric trees need far more slots than surface shells).
+                # Sticky-regrow K and redo the chunk exactly.
+                if self.K >= 2048:
+                    import warnings
+
+                    warnings.warn(
+                        f"march contributor slots clipped at K={self.K}; "
+                        "rendering with truncated geometry"
+                    )
+                else:
+                    self.K *= 2
+                    self._build_jits()
+                    return self.render_chunk(origins, dirs, pass_schedule)
             n_alive = int(alive.sum())
             if n_alive == 0:
                 break

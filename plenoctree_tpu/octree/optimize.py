@@ -45,6 +45,14 @@ class TwoPhaseRenderer:
             functools.partial(march_lib.march_while, meta=meta, opts=opts),
             static_argnames=("cap",),
         )
+        # Slot-overflow probe (K read from the carry shape): true when some
+        # ray filled all K slots while still inside unsaturated volume —
+        # the composite would be missing geometry (march.py::overflow_mask).
+        self._overflow = jax.jit(
+            lambda rp, c: jnp.any(
+                march_lib.overflow_mask(rp, c, opts=opts, K=c["cells"].shape[1])
+            )
+        )
         self._sigma_of = jax.jit(lambda d: d[:, -1])
         self._shade = jax.jit(
             functools.partial(
@@ -80,16 +88,20 @@ class TwoPhaseRenderer:
     def render(self, data, o, d):
         rp = self.prep(o, d)
         carry = self.march(data, rp, o.shape[0])
-        return self._shade(
-            data, carry["cells"], carry["dts"], carry["count"], rp[6]
+        return (
+            self._shade(
+                data, carry["cells"], carry["dts"], carry["count"], rp[6]
+            ),
+            self._overflow(rp, carry),
         )
 
     def loss_grad(self, data, o, d, gt, mask):
         rp = self.prep(o, d)
         carry = self.march(data, rp, o.shape[0])
-        return self._sq_grad(
+        sq, g = self._sq_grad(
             data, carry["cells"], carry["dts"], carry["count"], rp[6], gt, mask
         )
+        return sq, g, self._overflow(rp, carry)
 
 
 def _image_rays(c2w, h, w, focal, ndc):
@@ -149,19 +161,40 @@ def optimize_tree(
         lambda data, grad, opt_state, denom: _apply(tx, data, grad, opt_state, denom)
     )
 
+    def _grow_K():
+        """Sticky contributor-slot regrowth (march.py::overflow_mask): dense
+        volumetric trees overflow the surface-shell default of 64."""
+        if rend.K >= 2048:
+            import warnings
+
+            warnings.warn(
+                f"march contributor slots clipped at K={rend.K}; "
+                "optimizing with truncated geometry"
+            )
+            return False
+        rend.K *= 2
+        h0print(f"** regrowing march contributor slots to K={rend.K}")
+        return True
+
     def run_test():
-        tpsnr = 0.0
-        for c2w, gt in zip(test_c2w, test_gt):
-            o, d = _image_rays(c2w, h, w, focal, ndc)
-            outs = []
-            for i in range(0, o.shape[0], chunk):
-                oo, dd = _pad_chunk(o, d, i, chunk)
-                outs.append(np.asarray(rend.render(data, oo, dd)))
-            im = np.concatenate(outs, 0)[: o.shape[0]].reshape(h, w, 3)
-            im = np.clip(im, 0.0, 1.0)
-            mse = float(((im - gt[..., :3]) ** 2).mean())
-            tpsnr += float(compute_psnr(mse))
-        return tpsnr / len(test_c2w)
+        while True:
+            tpsnr = 0.0
+            overflow = None
+            for c2w, gt in zip(test_c2w, test_gt):
+                o, d = _image_rays(c2w, h, w, focal, ndc)
+                outs = []
+                for i in range(0, o.shape[0], chunk):
+                    oo, dd = _pad_chunk(o, d, i, chunk)
+                    rgb, ov = rend.render(data, oo, dd)
+                    outs.append(np.asarray(rgb))
+                    overflow = ov if overflow is None else overflow | ov
+                im = np.concatenate(outs, 0)[: o.shape[0]].reshape(h, w, 3)
+                im = np.clip(im, 0.0, 1.0)
+                mse = float(((im - gt[..., :3]) ** 2).mean())
+                tpsnr += float(compute_psnr(mse))
+            if overflow is not None and bool(overflow) and _grow_K():
+                continue
+            return tpsnr / len(test_c2w)
 
     best_psnr = run_test()
     h0print("** initial val psnr", best_psnr)
@@ -176,22 +209,30 @@ def optimize_tree(
             if rays_per_step and rays_per_step < o.shape[0]:
                 sel = ray_rng.integers(0, o.shape[0], size=rays_per_step)
                 o, d, gtf = o[sel], d[sel], gtf[sel]
-            sq_total = None
-            grad_acc = None
-            for i in range(0, o.shape[0], chunk):
-                oo, dd = _pad_chunk(o, d, i, chunk)
-                gg = jnp.asarray(_pad_rows(gtf[i : i + chunk], chunk))
-                n_real = min(chunk, o.shape[0] - i)
-                if n_real < chunk:
-                    mask = np.zeros((chunk, 1), np.float32)
-                    mask[:n_real] = 1.0
-                    mask = jnp.asarray(mask)
-                else:
-                    mask = ones
-                sq, g = rend.loss_grad(data, oo, dd, gg, mask)
-                # Device-side accumulation: no host sync inside the loop.
-                sq_total = sq if sq_total is None else sq_total + sq
-                grad_acc = g if grad_acc is None else jax.tree.map(jnp.add, grad_acc, g)
+            while True:
+                sq_total = None
+                grad_acc = None
+                overflow = None
+                for i in range(0, o.shape[0], chunk):
+                    oo, dd = _pad_chunk(o, d, i, chunk)
+                    gg = jnp.asarray(_pad_rows(gtf[i : i + chunk], chunk))
+                    n_real = min(chunk, o.shape[0] - i)
+                    if n_real < chunk:
+                        mask = np.zeros((chunk, 1), np.float32)
+                        mask[:n_real] = 1.0
+                        mask = jnp.asarray(mask)
+                    else:
+                        mask = ones
+                    sq, g, ov = rend.loss_grad(data, oo, dd, gg, mask)
+                    # Device-side accumulation: no host sync inside the loop.
+                    sq_total = sq if sq_total is None else sq_total + sq
+                    grad_acc = (
+                        g if grad_acc is None else jax.tree.map(jnp.add, grad_acc, g)
+                    )
+                    overflow = ov if overflow is None else overflow | ov
+                if bool(overflow) and _grow_K():
+                    continue  # redo this image with more slots, no update
+                break
             # Mean over the rays actually marched (equals the reference's
             # full-image mean when rays_per_step is off).
             denom = float(o.shape[0] * 3)

@@ -93,6 +93,13 @@ _flag("approx_eval_skip", 1, "evaluate every x-th test image only")
 _flag("renderer_step_size", 1e-4, "octree render step epsilon (1e-3 fast / 1e-5 high)")
 _flag("no_early_stop", False, "disable early ray termination in octree render")
 _flag("max_segments", 0, "octree march segment bound (0 = auto, 3*2^depth)")
+_flag(
+    "fast_eval",
+    False,
+    "evaluate octrees with the Pallas tile renderer (serving path; hit "
+    "ordering within a 128-row chunk is mean-direction approximate) instead "
+    "of the exact march oracle",
+)
 
 # Octree extraction (parity: octree/extraction.py:66-176)
 _flag("center", "0 0 0", "volume center 'x y z' or single number")
