@@ -8,20 +8,23 @@ renderer restructures the computation around contiguous DMA and dense
 VPU/MXU math:
 
   * Build (host, per scene): every leaf above the sigma threshold is
-    replicated into each coarse C^3 grid cell it overlaps (full AABB +
-    home-cell id). At render time exactly one replica fires per ray: the
-    one whose home cell contains the ray's segment midpoint — which is
-    always inside some covered cell, for any leaf size — so each leaf is
-    integrated once, as one full segment with one step epsilon (march
-    parity). Instances are sorted by cell id in THREE axis-major orders
-    (one per possible dominant ray axis) so that, for any camera, every
-    per-frame access is a CONTIGUOUS run of rows.
+    split into one CLIPPED replica per coarse C^3 grid cell it overlaps —
+    an exact spatial partition, so every replica a ray hits contributes
+    exactly its own sub-segment and the kernel needs no dedup (cell
+    boundaries and leaf corners are exact binary floats; sub-segments
+    tile with no gap or overlap). Instances are sorted in THREE axis-major
+    orders (one per possible dominant ray axis), with the stride-1
+    lateral-2 axis binned at a FINER resolution fine_c2 (clipped-box
+    centers), so that, for any camera, every per-frame access is a
+    CONTIGUOUS run of rows that phase 1 can trim tightly.
   * Phase 1 (XLA, per 16x16 pixel tile): walk the tile frustum through the
-    grid slab-by-slab along the dominant axis; per (slab, lateral-1) the
-    candidate lateral-2 cells form ONE contiguous CSR row range (lateral-2
-    is the stride-1 axis of that ordering). Emit compacted (start, len)
-    ranges in front-to-back slab order. Tiny CSR gathers are the only
-    random access per frame.
+    grid slab-by-slab along the dominant axis; per (slab, lateral-1 strip)
+    compute the EXACT lateral-2 extent of the frustum hull inside the
+    strip (candidate min/max over all point-pair segments of the 8
+    projected corner crossings) plus the axis copy's max clipped
+    half-extent, giving ONE tight contiguous CSR row range. Emit compacted
+    (start, len) ranges in front-to-back slab order. Tiny CSR gathers are
+    the only random access per frame.
   * Phase 2 (Pallas kernel, grid over tiles): double-buffered 128-row DMA
     chunks of instance rows HBM->VMEM; each chunk is tested against all
     256 tile rays (dense VPU), decoded with one [3*rows, basis] x
@@ -61,16 +64,32 @@ RUNROWS = 128  # instance rows per DMA chunk
 # ---------------------------------------------------------------------------
 
 
-def build_tile_index(tree, sigma_thresh=0.0, grid_c=64):
+def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None):
     """Host-side per-scene preprocessing.
 
+    Each kept leaf is split into CLIPPED instances — one per coarse C^3
+    grid cell it overlaps, with the box clipped to that cell. Clipping
+    makes the instances an exact spatial partition: every replica a ray
+    hits contributes exactly its own sub-segment, so the kernel needs no
+    replica dedup at all (cell boundaries k/C and leaf corners j/2^d are
+    exact binary floats, so adjacent sub-segments tile with no gap or
+    overlap; each sub-segment gets one step epsilon — identical to one
+    whole-leaf segment for the dominant span-1 case).
+
+    Within a (C, C) dominant x lateral-1 cell, rows are sorted by their
+    clipped-box CENTER binned at the finer lateral-2 resolution `fine_c2`
+    (default 4*C), so phase 1 can trim each (slab, lateral-1 strip) to the
+    exact frustum hull range in lateral-2 plus a small margin (max clipped
+    extent, tracked per axis copy).
+
     Returns dict with:
-      soa  [fields, 3 * npad] f32, field-major: lo(3) hi(3) home(1,
-           bitcast i32) data(data_dim) + sublane pad — three axis-major
-           copies side by side, each padded to a RUNROWS multiple
-      csr  [3, C^3 + 1] i32 — per-axis row starts (local to each copy)
+      soa  [fields, 3 * npad] f32, field-major: lo(3) hi(3) +
+           data(data_dim) + sublane pad — three axis-major copies side by
+           side, each padded to a RUNROWS multiple
+      csr  [3, C*C*c2 + 1] i32 — per-axis row starts (local to each copy)
       base [3] i32 — column offset of each copy inside soa
-      grid_c, n_instances, sigma_row
+      margin [3] f32 — per-axis max clipped lateral-2 half-extent
+      grid_c, fine_c2, n_instances, sigma_row
     """
     leaves = tree._leaf_nodes()
     corner = tree._cell_corner(leaves).astype(np.float64)
@@ -83,14 +102,14 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64):
     corner, size, data = corner[keep], size[keep], data[keep]
 
     C = grid_c
+    c2 = fine_c2 or 4 * C
     lo_cell = np.clip((corner * C).astype(np.int64), 0, C - 1)
     hi_cell = np.clip(
         np.ceil((corner + size[:, None]) * C).astype(np.int64) - 1, 0, C - 1
     )
     span = hi_cell - lo_cell + 1
 
-    # Expand instances over the (dx,dy,dz) offset lattice, clipping each
-    # instance's box to its cell (exact partition — no double counting).
+    # Expand instances over the (dx,dy,dz) offset lattice.
     max_span = int(span.max()) if span.size else 1
     inst_leaf, inst_vox = [], []
     for dx in range(max_span):
@@ -110,19 +129,17 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64):
         inst_vox = np.zeros((0, 3), np.int64)
     n = inst_leaf.shape[0]
 
-    # Full (unclipped) leaf boxes: the kernel integrates the whole leaf
-    # segment with ONE step epsilon (march parity); the home-cell id makes
-    # exactly one replica fire — the one whose cell holds the segment
-    # midpoint (always inside some covered cell, any leaf size).
-    home = ((inst_vox[:, 0] * C + inst_vox[:, 1]) * C + inst_vox[:, 2]).astype(
-        np.int32
+    # Clip each instance's box to its cell (float64 host math; the clip
+    # planes are exact in f32 for power-of-two C).
+    box_lo = np.maximum(corner[inst_leaf], inst_vox / C)
+    box_hi = np.minimum(
+        (corner + size[:, None])[inst_leaf], (inst_vox + 1) / C
     )
     d_cols = data.shape[1]
-    rows = np.zeros((n, 7 + d_cols), np.float32)
-    rows[:, 0:3] = corner[inst_leaf]
-    rows[:, 3:6] = (corner + size[:, None])[inst_leaf]
-    rows[:, 6] = home.view(np.float32)
-    rows[:, 7:] = data[inst_leaf]
+    rows = np.zeros((n, 6 + d_cols), np.float32)
+    rows[:, 0:3] = box_lo
+    rows[:, 3:6] = box_hi
+    rows[:, 6:] = data[inst_leaf]
 
     # Field-major layout [fields, 3*npad]: the kernel DMAs [fields, 128]
     # column blocks, whose lane dim is 128-aligned as Mosaic requires; it
@@ -130,24 +147,31 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64):
     # axis-major copy is padded to a 128 multiple so chunk windows stay
     # inside their copy.
     npad = max(-(-n // RUNROWS) * RUNROWS, RUNROWS)
-    fpad = -(-(7 + d_cols) // 8) * 8  # field rows padded to the sublane tile
+    fpad = -(-(6 + d_cols) // 8) * 8  # field rows padded to the sublane tile
     soa = np.zeros((fpad, 3 * npad), np.float32)
-    csr = np.zeros((3, C**3 + 1), np.int64)
+    csr = np.zeros((3, C * C * c2 + 1), np.int64)
     base = np.array([0, npad, 2 * npad], np.int64)
+    margin = np.zeros(3, np.float32)
+    ctr = 0.5 * (box_lo + box_hi)
+    ext = box_hi - box_lo
     for axis in range(3):
         p = (axis, (axis + 1) % 3, (axis + 2) % 3)
-        key = (inst_vox[:, p[0]] * C + inst_vox[:, p[1]]) * C + inst_vox[:, p[2]]
+        v2 = np.clip((ctr[:, p[2]] * c2).astype(np.int64), 0, c2 - 1)
+        key = (inst_vox[:, p[0]] * C + inst_vox[:, p[1]]) * c2 + v2
         order = np.argsort(key, kind="stable")
-        soa[: 7 + d_cols, axis * npad : axis * npad + n] = rows[order].T
-        count = np.bincount(key, minlength=C**3)
+        soa[: 6 + d_cols, axis * npad : axis * npad + n] = rows[order].T
+        count = np.bincount(key, minlength=C * C * c2)
         csr[axis, 1:] = np.cumsum(count)
+        margin[axis] = 0.5 * float(ext[:, p[2]].max()) if n else 0.0
     return {
         "soa": jnp.asarray(soa),
         "csr": jnp.asarray(csr.astype(np.int32)),
         "base": jnp.asarray(base.astype(np.int32)),
+        "margin": jnp.asarray(margin),
         "grid_c": C,
+        "fine_c2": c2,
         "n_instances": n,
-        "sigma_row": 7 + d_cols - 1,
+        "sigma_row": 6 + d_cols - 1,
     }
 
 
@@ -156,15 +180,24 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64):
 # ---------------------------------------------------------------------------
 
 
-def _phase1(csr, base, o4, d4, span_lo, span_hi, any_hit, grid_c, w1cap, rcap):
+_SEG_II, _SEG_JJ = np.triu_indices(8, k=1)  # all 28 point pairs
+
+
+def _phase1(
+    csr, base, margin, o4, d4, span_lo, span_hi, any_hit, grid_c, fine_c2, w1cap, rcap
+):
     """One tile's candidate row ranges, front-to-back slab order.
 
     o4/d4 [4, 3]: the tile's corner rays (tree space, unit dn).
     span_lo/span_hi: conservative t-span over the tile's FULL ray set;
     any_hit: whether any tile ray intersects the volume at all (exact
     gate — off-box tiles emit zero ranges). Returns (runs_start [rcap],
-    runs_len [rcap], n_total, rev) where rev flags that lateral-2 chunks
-    should be consumed back-to-front.
+    runs_len [rcap], n_total, rev, w1_over) where rev flags that lateral-2
+    chunks should be consumed back-to-front and w1_over counts lateral-1
+    cells beyond the static window (0 = fully covered; >0 would silently
+    drop geometry, so the driver regrows w1cap and re-renders — ADVICE r2:
+    the sqrt(3) chord bound undersizes the window for cameras far outside
+    the volume).
     """
     C = grid_c
     min_abs = jnp.min(jnp.abs(d4), axis=0)
@@ -193,30 +226,76 @@ def _phase1(csr, base, o4, d4, span_lo, span_hi, any_hit, grid_c, w1cap, rcap):
         jnp.any((t_in <= span_hi) & (t_out >= span_lo), axis=1) & any_hit
     )  # [C]
 
-    # Lateral footprint: corner positions at both plane crossings. No cell
-    # padding is needed: a hit only fires in its segment-midpoint's cell,
-    # and midpoints lie ON tile rays, strictly inside this exact hull —
-    # only a float epsilon guards the floor() at the window boundary.
+    # Lateral footprint: corner positions at both plane crossings. The 8
+    # projected points' convex hull covers every tile ray's path through
+    # the slab (interior crossings are convex combinations of corner
+    # crossings at each plane); rows are cell-replicated in lateral-1 so
+    # only lateral-2 (center-binned at fine_c2) needs the margin.
     ts = jnp.stack([t_in, t_out], axis=-1)  # [C, 4, 2]
     lat = op[None, :, None, 1:] + ts[..., None] * dp[None, :, None, 1:]  # [C,4,2,2]
     lat = jnp.clip(lat, -1.0, 2.0)  # keep the i32 cell math in range
-    lat_lo = jnp.min(lat, axis=(1, 2))  # [C, 2]
-    lat_hi = jnp.max(lat, axis=(1, 2))
-    v_lo = jnp.floor(lat_lo * C - 1e-4).astype(jnp.int32)
-    v_hi = jnp.floor(lat_hi * C + 1e-4).astype(jnp.int32)
+    pts = lat.reshape(C, 8, 2)
+    lat_lo = jnp.min(pts, axis=1)  # [C, 2]
+    lat_hi = jnp.max(pts, axis=1)
+    v_lo = jnp.floor(lat_lo[:, 0] * C - 1e-4).astype(jnp.int32)
+    v_hi = jnp.floor(lat_hi[:, 0] * C + 1e-4).astype(jnp.int32)
     v_lo = jnp.clip(v_lo, 0, C - 1)
     v_hi = jnp.clip(v_hi, 0, C - 1)
 
-    # lateral-1 window, enumerated along travel sign; lateral-2 is one
-    # contiguous CSR range [v2_lo .. v2_hi] (stride-1 axis).
+    # lateral-1 window, enumerated along travel sign.
     sgn1 = jnp.sign(jnp.sum(dp[:, 1]))
     j = jnp.arange(w1cap, dtype=jnp.int32)
-    w1 = jnp.where(sgn1 >= 0, v_lo[:, 0:1] + j[None, :], v_hi[:, 0:1] - j[None, :])
-    w1_ok = (j[None, :] <= (v_hi[:, 0:1] - v_lo[:, 0:1])) & slab_valid[:, None]
+    w1 = jnp.where(sgn1 >= 0, v_lo[:, None] + j[None, :], v_hi[:, None] - j[None, :])
+    w1_ok = (j[None, :] <= (v_hi[:, None] - v_lo[:, None])) & slab_valid[:, None]
     w1c = jnp.clip(w1, 0, C - 1)
+    w1_over = jnp.max(jnp.where(slab_valid, v_hi - v_lo + 1 - w1cap, 0))
 
-    cell_lo = (a_pos[:, None] * C + w1c) * C + v_lo[:, 1:2]  # [C, w1cap]
-    cell_hi = (a_pos[:, None] * C + w1c) * C + v_hi[:, 1:2]
+    # Exact lateral-2 range of (hull of the 8 points) ∩ (lateral-1 strip
+    # [w1/C, (w1+1)/C]): extremes lie at hull vertices inside the strip or
+    # at hull-edge/strip-bound crossings; evaluating ALL 28 point-pair
+    # segments is a superset of the hull edges whose interior segments
+    # never extend past the hull — so min/max over the candidate set is
+    # exact. Then pad by the axis copy's max clipped half-extent (rows are
+    # center-binned at fine_c2).
+    c2 = fine_c2
+    lo1 = w1c.astype(jnp.float32) / C  # [C, w1cap]
+    hi1 = (w1c.astype(jnp.float32) + 1.0) / C
+    ep1 = pts[:, None, :, 0]  # [C, 1, 8]
+    ep2 = pts[:, None, :, 1]
+    ep_in = (ep1 >= lo1[..., None]) & (ep1 <= hi1[..., None])  # [C, w1cap, 8]
+    p1 = pts[:, _SEG_II, 0][:, None, :]  # [C, 1, 28]
+    q1 = pts[:, _SEG_JJ, 0][:, None, :]
+    p2 = pts[:, _SEG_II, 1][:, None, :]
+    q2 = pts[:, _SEG_JJ, 1][:, None, :]
+    den = q1 - p1
+    nz = jnp.abs(den) > 1e-12
+    safe_den = jnp.where(nz, den, 1.0)
+    big = jnp.float32(1e9)
+
+    def cross_l2(bound):
+        t = (bound[..., None] - p1) / safe_den
+        ok = nz & (t >= 0.0) & (t <= 1.0)
+        return ok, p2 + t * (q2 - p2)
+
+    ok_a, x_a = cross_l2(lo1)
+    ok_b, x_b = cross_l2(hi1)
+    cand_ok = jnp.concatenate([ep_in, ok_a, ok_b], axis=-1)  # [C, w1cap, 64]
+    cand_l2 = jnp.concatenate([ep2 * jnp.ones_like(ep_in, jnp.float32), x_a, x_b],
+                              axis=-1)
+    l2_min = jnp.min(jnp.where(cand_ok, cand_l2, big), axis=-1)
+    l2_max = jnp.max(jnp.where(cand_ok, cand_l2, -big), axis=-1)
+    has = jnp.any(cand_ok, axis=-1)
+    w1_ok = w1_ok & has
+    mh = margin[axis] + 1e-6
+    v2_lo = jnp.clip(
+        jnp.floor((l2_min - mh) * c2 - 1e-4).astype(jnp.int32), 0, c2 - 1
+    )
+    v2_hi = jnp.clip(
+        jnp.floor((l2_max + mh) * c2 + 1e-4).astype(jnp.int32), 0, c2 - 1
+    )
+
+    cell_lo = (a_pos[:, None] * C + w1c) * c2 + v2_lo  # [C, w1cap]
+    cell_hi = (a_pos[:, None] * C + w1c) * c2 + v2_hi
     r_start = csr[axis, cell_lo] + base[axis]
     r_end = csr[axis, cell_hi + 1] + base[axis]
     r_len = jnp.where(w1_ok, r_end - r_start, 0)
@@ -234,7 +313,7 @@ def _phase1(csr, base, o4, d4, span_lo, span_hi, any_hit, grid_c, w1cap, rcap):
     runs_start = jnp.where(ok, flat_start[idx], 0)
     runs_len = jnp.where(ok, flat_len[idx], 0)
     rev = (jnp.sign(jnp.sum(dp[:, 2])) < 0).astype(jnp.int32)
-    return runs_start, runs_len, jnp.minimum(n_total, jnp.int32(2**30)), rev
+    return runs_start, runs_len, jnp.minimum(n_total, jnp.int32(2**30)), rev, w1_over
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +343,6 @@ def _tile_kernel(
     basis_dim,
     n_channels,
     sigma_row,
-    grid_c,
     rays,
     step_eps,
     stop_thresh,
@@ -340,19 +418,11 @@ def _tile_kernel(
             tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
             tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
         entry = jnp.maximum(tn, tmin)
+        # Clipped boxes are an exact spatial partition (build_tile_index):
+        # every replica a ray hits contributes exactly its own sub-segment,
+        # so no replica dedup is needed — this removes ~25 [RAYS, RUNROWS]
+        # VPU ops (midpoint + cell-id reconstruction) from the hot loop.
         hit = (tf > entry) & (entry <= tmax) & live
-        # Dedup the replicas of one leaf: only the instance whose home cell
-        # holds the segment midpoint fires (exactly one covered cell does).
-        tmid = 0.5 * (entry + tf)
-        home = jax.lax.bitcast_convert_type(f[6:7, :], jnp.int32)  # [1, RUNROWS]
-        vcell = None
-        for a in range(3):
-            mp = o_ref[0, :, a : a + 1] + tmid * dn_ref[0, :, a : a + 1]
-            va = jnp.clip(
-                jnp.floor(mp * grid_c).astype(jnp.int32), 0, grid_c - 1
-            )
-            vcell = va if vcell is None else vcell * grid_c + va
-        hit = hit & (vcell == home)
         sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)  # [1, RUNROWS]
         sdt = jnp.where(hit, sigma * (tf - entry + step_eps) * dscale, 0.0)
 
@@ -385,20 +455,24 @@ def _tile_kernel(
         )  # [RAYS, RUNROWS]
 
         light = jnp.exp(-occ)
-        contrib = jnp.where(light > stop_thresh, light * (1.0 - jnp.exp(-sdt)), 0.0)
+        alive = light > stop_thresh
+        contrib = jnp.where(alive, light * (1.0 - jnp.exp(-sdt)), 0.0)
 
         # Per-channel decode: [RAYS, bd] x [bd, RUNROWS] on the MXU, no
         # transposes or lane-dim reshapes.
         cols = []
         for c in range(n_channels):
-            coef_c = f[7 + c * basis_dim : 7 + (c + 1) * basis_dim, :]
+            coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
             raw_c = jax.lax.dot(basis, coef_c, preferred_element_type=jnp.float32)
             rgb_c = jax.nn.sigmoid(raw_c) if fmt in ("SH", "SG") else raw_c
             cols.append(
                 acc[:, c : c + 1] + jnp.sum(contrib * rgb_c, axis=1, keepdims=True)
             )
         acc = jnp.concatenate(cols, axis=1)
-        cum = cum + jnp.sum(sdt, axis=1, keepdims=True)
+        # Freeze opacity once a ray stops (march/svox parity): a stopped
+        # ray's remaining transmittance composites onto the background
+        # unchanged rather than continuing to decay (ADVICE r2).
+        cum = cum + jnp.sum(jnp.where(alive, sdt, 0.0), axis=1, keepdims=True)
         return ri2, k2, 1 - slot, cum, acc
 
     init = (
@@ -433,6 +507,7 @@ class TileRenderer:
         sigma_thresh=0.0,
         stop_thresh=0.0,
         grid_c=64,
+        fine_c2=None,
         rcap=256,
         w1cap=None,
         interpret=None,
@@ -446,13 +521,14 @@ class TileRenderer:
             sigma_thresh=sigma_thresh,
             stop_thresh=stop_thresh,
         )
-        self.index = build_tile_index(tree, sigma_thresh, grid_c)
+        self.index = build_tile_index(tree, sigma_thresh, grid_c, fine_c2)
         self.grid_c = grid_c
+        self.fine_c2 = self.index["fine_c2"]
         self.rcap = rcap
         self.w1cap = w1cap
         self.fmt = tree.data_format.format
         self.basis_dim = tree.data_format.basis_dim
-        self.n_channels = (self.index["sigma_row"] - 7) // self.basis_dim
+        self.n_channels = (self.index["sigma_row"] - 6) // self.basis_dim
         self.offset = jnp.asarray(tree.offset, jnp.float32)
         self.invradius = jnp.asarray(tree.invradius, jnp.float32)
         self.extra_data = (
@@ -485,7 +561,6 @@ class TileRenderer:
                 basis_dim=self.basis_dim,
                 n_channels=self.n_channels,
                 sigma_row=int(self.index["sigma_row"]),
-                grid_c=self.grid_c,
                 rays=self.rays,
                 step_eps=self.opts.step_size,
                 stop_thresh=self.opts.stop_thresh,
@@ -550,7 +625,15 @@ class TileRenderer:
         (the axon tunnel charges ~28 ms per round trip). soa stays an
         argument: jit must not close over multi-GB arrays (CLAUDE.md).
         """
-        key = (height, width, float(fx), rcap)
+        if self.w1cap is None:
+            self.w1cap = int(
+                min(
+                    self.grid_c,
+                    np.ceil(np.sqrt(3) * self.tile / fx * self.grid_c) + 3,
+                )
+            )
+        w1cap = self.w1cap
+        key = (height, width, float(fx), rcap, w1cap)
         if key in self._frame_cache:
             return self._frame_cache[key]
 
@@ -559,16 +642,17 @@ class TileRenderer:
         hp = -(-height // TILE) * TILE
         wp = -(-width // TILE) * TILE
         n_tiles = (hp // TILE) * (wp // TILE)
-        w1cap = self.w1cap or int(
-            min(self.grid_c, np.ceil(np.sqrt(3) * TILE / fx * self.grid_c) + 3)
-        )
         corners = np.array([0, TILE - 1, TILE * (TILE - 1), RAYS - 1], np.int32)
         nc = self.n_channels
         p1 = jax.vmap(
             functools.partial(
-                _phase1, grid_c=self.grid_c, w1cap=w1cap, rcap=rcap
+                _phase1,
+                grid_c=self.grid_c,
+                fine_c2=self.fine_c2,
+                w1cap=w1cap,
+                rcap=rcap,
             ),
-            in_axes=(None, None, 0, 0, 0, 0, 0),
+            in_axes=(None, None, None, 0, 0, 0, 0, 0),
         )
         p2 = self._get_p2(n_tiles, rcap)
 
@@ -613,8 +697,8 @@ class TileRenderer:
             any_hit = jnp.any(ray_ok, axis=1)
             span_lo = jnp.min(jnp.where(ray_ok, tmin, jnp.inf), axis=1)
             span_hi = jnp.max(jnp.where(ray_ok, tmax, -jnp.inf), axis=1)
-            runs_start, runs_len, n_total, rev = p1(
-                csr, base, o[:, corners], dn[:, corners],
+            runs_start, runs_len, n_total, rev, w1_over = p1(
+                csr, base, self.index["margin"], o[:, corners], dn[:, corners],
                 span_lo, span_hi, any_hit,
             )
             n_ranges = jnp.minimum(n_total, rcap).astype(jnp.int32)
@@ -650,42 +734,73 @@ class TileRenderer:
                 .reshape(hp, wp, nc)
             )[:height, :width]
             n_max = jnp.max(n_total)
+            w1_max = jnp.max(w1_over).astype(jnp.int32)
             if self.output == "u8":
-                # One packed u8 payload (image + n_max bytes): the tunnel
-                # charges ~28 ms per fetch and ~4 ms/MB, so one small
-                # transfer replaces a float image + a scalar round trip.
+                # One packed u8 payload (image + n_max/w1_over bytes): the
+                # tunnel charges ~28 ms per fetch and ~4 ms/MB, so one small
+                # transfer replaces a float image + scalar round trips.
                 img8 = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
                 tail = jax.lax.bitcast_convert_type(
-                    n_max[None], jnp.uint8
+                    jnp.stack([n_max, w1_max]), jnp.uint8
                 ).reshape(-1)
                 return jnp.concatenate([img8.reshape(-1), tail])
-            return img, n_max
+            return img, n_max, w1_max
 
         fn = jax.jit(frame)
         self._frame_cache[key] = fn
         return fn
 
+    def render_persp_async(self, c2w, height, width, fx):
+        """Dispatch one frame; returns the device payload (no host sync).
+        Use for pipelined serving: fetch frame k while k+1 renders. The
+        rcap/w1cap saturation checks run at fetch time via finish_frame."""
+        fn = self._frame_fn(height, width, fx, self.rcap)
+        idx = self.index
+        return fn(
+            jnp.asarray(np.asarray(c2w, np.float32)),
+            idx["soa"], idx["csr"], idx["base"], self.extra_data,
+        )
+
+    def _fetch(self, out, height, width):
+        """Device payload -> (img, n_max, w1_over) on host."""
+        if self.output == "u8":
+            payload = np.asarray(out)
+            img = payload[:-8].reshape(height, width, self.n_channels)
+            n_max, w1_over = (int(x) for x in payload[-8:].view(np.int32))
+        else:
+            img, n_max, w1_over = out
+            img = np.asarray(img)
+            n_max, w1_over = int(n_max), int(w1_over)
+        return img, n_max, w1_over
+
+    def _check_caps(self, n_max, w1_over):
+        """Grow rcap/w1cap on saturation. Returns True if a re-render is
+        needed (the frame dropped geometry)."""
+        import warnings
+
+        regrow = False
+        if w1_over > 0:
+            # Undersized lateral-1 window (camera far outside the volume):
+            # phase 1 masked real cells. Regrow exactly and re-render.
+            self.w1cap = int(min(self.grid_c, self.w1cap + w1_over))
+            regrow = True
+        if n_max > self.rcap:
+            if self.rcap >= 4096:
+                warnings.warn(
+                    f"tile run capacity clipped at {self.rcap} (< {n_max}): "
+                    "frame rendered with truncated geometry"
+                )
+            else:
+                self.rcap = int(min(4096, 2 * self.rcap))
+                regrow = True
+        return regrow
+
     def render_persp(self, c2w, height, width, fx):
         """Render an image [H, W, nc] (numpy; float32, or uint8 when the
         renderer was constructed with output="u8")."""
-        idx = self.index
-        extra = self.extra_data
         while True:
-            fn = self._frame_fn(height, width, fx, self.rcap)
-            out = fn(
-                jnp.asarray(np.asarray(c2w, np.float32)),
-                idx["soa"], idx["csr"], idx["base"], extra,
-            )
-            if self.output == "u8":
-                payload = np.asarray(out)
-                img = payload[:-4].reshape(height, width, self.n_channels)
-                n_max = int(payload[-4:].view(np.int32)[0])
-            else:
-                img, n_max = out
-                img = np.asarray(img)
-                n_max = int(n_max)
-            if n_max <= self.rcap or self.rcap >= 4096:
+            out = self.render_persp_async(c2w, height, width, fx)
+            img, n_max, w1_over = self._fetch(out, height, width)
+            if not self._check_caps(n_max, w1_over):
                 return img
-            # Sticky growth: saturated tiles dropped far runs — re-render
-            # with more slots (a new compile; rare, persists per renderer).
-            self.rcap = int(min(4096, 2 * self.rcap))
+            # Sticky growth: a new compile, rare, persists per renderer.

@@ -84,6 +84,7 @@ def main():
     fast = os.environ.get("BO_FAST", "1") == "1"
     which = os.environ.get("BO_RENDERER", "tile")  # tile | march
     grid_c = int(os.environ.get("BO_GRID_C", 64))
+    tile = int(os.environ.get("BO_TILE", 16))
 
     from plenoctree_tpu.octree.renderer import VolumeRenderer
     from plenoctree_tpu.octree.tile_render import TileRenderer
@@ -101,7 +102,12 @@ def main():
     if which == "tile":
         thr = 1e-2 if fast else 0.0
         rend = TileRenderer(
-            tree, sigma_thresh=thr, stop_thresh=thr, grid_c=grid_c, output="u8"
+            tree,
+            sigma_thresh=thr,
+            stop_thresh=thr,
+            grid_c=grid_c,
+            output="u8",
+            tile=tile,
         )
         print(
             f"tile renderer: C={grid_c} instances={rend.index['n_instances']}"
@@ -126,19 +132,47 @@ def main():
     img = render(orbit_pose(0.123))
     print(f"warmup frame: {time.time()-t0:.1f}s  mean={img.mean():.4f}")
 
+    pipeline = which == "tile" and os.environ.get("BO_PIPELINE", "1") == "1"
     times = []
-    for i in range(frames):
-        pose = orbit_pose(0.4 + 0.31 * i)
+    if pipeline:
+        # Serving throughput: keep one frame in flight — dispatch frame
+        # k+1 before fetching frame k, hiding the host transfer + prep
+        # behind device compute (jax dispatch is async).
+        poses = [orbit_pose(0.4 + 0.31 * i) for i in range(frames)]
         t0 = time.time()
-        img = render(pose)
-        dt = time.time() - t0
-        times.append(dt)
-        print(f"frame {i}: {dt*1000:.0f} ms  ({1.0/dt:.2f} FPS) mean={img.mean():.4f}")
+        pending = rend.render_persp_async(poses[0], reso, reso, fx)
+        for i in range(frames):
+            nxt = (
+                rend.render_persp_async(poses[i + 1], reso, reso, fx)
+                if i + 1 < frames
+                else None
+            )
+            img, n_max, w1_over = rend._fetch(pending, reso, reso)
+            rend._check_caps(n_max, w1_over)
+            t1 = time.time()
+            times.append(t1 - t0)
+            t0 = t1
+            print(
+                f"frame {i}: {times[-1]*1000:.0f} ms "
+                f"({1.0/times[-1]:.2f} FPS) mean={img.mean():.4f}"
+            )
+            pending = nxt
+    else:
+        for i in range(frames):
+            pose = orbit_pose(0.4 + 0.31 * i)
+            t0 = time.time()
+            img = render(pose)
+            dt = time.time() - t0
+            times.append(dt)
+            print(
+                f"frame {i}: {dt*1000:.0f} ms  ({1.0/dt:.2f} FPS) "
+                f"mean={img.mean():.4f}"
+            )
 
     best = min(times)
     med = sorted(times)[len(times) // 2]
     print(
-        f"RESULT reso={reso} depth={depth} fast={fast}: "
+        f"RESULT reso={reso} depth={depth} fast={fast} pipeline={pipeline}: "
         f"median {med*1000:.0f} ms ({1/med:.2f} FPS), best {best*1000:.0f} ms "
         f"({1/best:.2f} FPS)"
     )

@@ -45,16 +45,40 @@ class TestTileIndex:
             assert csr[axis, -1] == idx["n_instances"]
             assert (np.diff(csr[axis]) >= 0).all()
 
-    def test_home_matches_csr_cell(self, scene_tree):
-        """Stored home ids agree with the axis-0 CSR bucket of each row."""
+    def test_clipped_boxes_partition_leaves(self, scene_tree):
+        """Replica boxes are clipped to cells (exact spatial partition):
+        each row's box fits one coarse cell, and the replicas of all leaves
+        sum to the total kept leaf volume (no overlap, no gap)."""
         C = 16
         idx = build_tile_index(scene_tree, grid_c=C)
         n = idx["n_instances"]
-        home = np.asarray(idx["soa"])[6, :n].view(np.int32)
+        soa = np.asarray(idx["soa"])
+        lo = soa[0:3, :n].T.astype(np.float64)
+        hi = soa[3:6, :n].T.astype(np.float64)
+        assert (hi > lo).all()
+        # Each clipped box stays inside a single coarse cell.
+        cell = np.floor(lo * C)
+        assert (hi * C <= cell + 1 + 1e-6).all()
+        # Volume partition: sum of replica volumes == sum of kept leaf volumes.
+        leaves = scene_tree._leaf_nodes()
+        data = scene_tree.data[
+            leaves[:, 0], leaves[:, 1], leaves[:, 2], leaves[:, 3]
+        ]
+        keep = data[:, -1] > 0
+        size = scene_tree._cell_size(leaves)[keep].astype(np.float64)
+        np.testing.assert_allclose(
+            (hi - lo).prod(axis=1).sum(), (size**3).sum(), rtol=1e-6
+        )
+        # Fine-l2 CSR buckets hold rows whose centers fall in the bucket.
+        c2 = idx["fine_c2"]
         csr = np.asarray(idx["csr"])[0]
         cell_of_row = np.searchsorted(csr, np.arange(n), side="right") - 1
-        # axis-0 key is (x*C + y)*C + z == the home id layout
-        assert (home == cell_of_row).all()
+        ctr = 0.5 * (lo + hi)
+        key = (
+            np.clip((ctr[:, 0] * C).astype(int), 0, C - 1) * C
+            + np.clip((ctr[:, 1] * C).astype(int), 0, C - 1)
+        ) * c2 + np.clip((ctr[:, 2] * c2).astype(int), 0, c2 - 1)
+        assert (key == cell_of_row).all()
 
 
 class TestTileVsOracle:
