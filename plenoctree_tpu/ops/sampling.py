@@ -15,6 +15,8 @@ dense reductions - on TPU this beats a gather-based searchsorted for the
 small bin counts used here (<= 191).
 """
 
+import os
+
 import jax.numpy as jnp
 from jax import lax, random
 
@@ -101,22 +103,68 @@ def piecewise_constant_pdf(key, bins, weights, num_samples, randomized):
     return _inverse_cdf(bins, weights, u)
 
 
+def _sorted_uniform(key, shape):
+    """Sorted U(0,1) order statistics WITHOUT a sort.
+
+    Normalized cumulative sums of i.i.d. exponentials are distributed as
+    sorted uniforms; a cumsum replaces the O(n log^2 n) on-device sort.
+    (Same distribution as sorting i.i.d. draws, different RNG stream.)
+    """
+    e = -jnp.log1p(-random.uniform(key, shape[:-1] + (shape[-1] + 1,)))
+    s = jnp.cumsum(e, axis=-1)
+    return s[..., :-1] / jnp.maximum(s[..., -1:], 1e-12)
+
+
+def _merge_sorted(a, b):
+    """Merge per-row sorted arrays a [.., n] and b [.., m] -> [.., n+m].
+
+    Dense rank arithmetic instead of sorting the concatenation: XLA fuses
+    the broadcast-compare-reduce chains on the VPU with no gathers and no
+    sort network (ties: all of `a` before equal elements of `b`).
+    """
+    n, m = a.shape[-1], b.shape[-1]
+    pos_a = jnp.arange(n) + jnp.sum(b[..., None, :] < a[..., :, None], axis=-1)
+    pos_b = jnp.arange(m) + jnp.sum(a[..., None, :] <= b[..., :, None], axis=-1)
+    j = jnp.arange(n + m)
+    out = jnp.sum(
+        jnp.where(pos_a[..., None, :] == j[:, None], a[..., None, :], 0.0), axis=-1
+    ) + jnp.sum(
+        jnp.where(pos_b[..., None, :] == j[:, None], b[..., None, :], 0.0), axis=-1
+    )
+    return out
+
+
+# Sort-free fine sampling for the TRAINING path (kill switch for A/B runs).
+# History: round 2 reverted this after a silent miscompile "at chunk 8192 in
+# the full eval program" — round 3 then proved the SAME program miscompiles
+# at batch 8192 with plain jnp.sort too (engine.py::_canary), i.e. the bug
+# was the backend shape, not this formulation. Eval programs are
+# deterministic and canary-protected, and keep reference-exact jnp.sort
+# anyway; the randomized train path uses the cumsum + rank-merge (equal in
+# distribution, different RNG stream).
+_SORTFREE = os.environ.get("PLENOCTREE_SORTFREE", "1") == "1"
+
+
 def sample_pdf(key, bins, weights, origins, directions, z_vals, num_samples, randomized):
     """Hierarchical resampling: draw fine samples and merge with coarse z_vals.
 
     Parity: nerf_sh/nerf/model_utils.py:289-314 — i.i.d. uniform draws and a
-    sorted union via jnp.sort. (Sort-free merges — rank arithmetic with
-    equality-scatter, gathers, or prefix-max — were each tried and measured;
-    the dense variants silently miscompiled at chunk 8192 inside the full
-    render program on the axon TPU backend, so the sort stays until that
-    compiler bug is resolved. See git history for the validated repro.)
+    sorted union. Deterministic (eval) calls match the reference bitwise via
+    jnp.sort; randomized (train) calls draw sorted-uniform order statistics
+    (equal in distribution) and build the union with a rank-merge instead of
+    an on-device sort.
 
     Returns:
       z_vals: [batch, num_coarse + num_fine] sorted union.
       points: [batch, num_coarse + num_fine, 3].
     """
-    z_samples = piecewise_constant_pdf(key, bins, weights, num_samples, randomized)
-    z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    if randomized and _SORTFREE:
+        u = _sorted_uniform(key, weights.shape[:-1] + (num_samples,))
+        z_samples = _inverse_cdf(bins, weights, u)
+        z_vals = _merge_sorted(z_vals, z_samples)
+    else:
+        z_samples = piecewise_constant_pdf(key, bins, weights, num_samples, randomized)
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
     return z_vals, cast_rays(z_vals, origins, directions)
 
 
