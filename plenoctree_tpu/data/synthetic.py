@@ -26,12 +26,18 @@ _BLOBS = np.array(
 )
 
 
-def scene_sigma_rgb(points):
-    """Analytic (sigma, rgb) of the test scene at [..., 3] points."""
+def scene_sigma_rgb(points, density_scale=1.0):
+    """Analytic (sigma, rgb) of the test scene at [..., 3] points.
+
+    density_scale multiplies every blob's density: 1.0 (default) is a soft
+    translucent-fog scene; >=8 makes blob fronts optically thick within a
+    ~0.02 shell, i.e. surface-like occupancy — the class the reference's
+    blender scenes are in, where visibility masking prunes interiors."""
     points = np.asarray(points, dtype=np.float32)
     sigma = np.zeros(points.shape[:-1], dtype=np.float32)
     rgb_accum = np.zeros(points.shape[:-1] + (3,), dtype=np.float32)
     for cx, cy, cz, rad, r, g, b, dens in _BLOBS:
+        dens = dens * density_scale
         d2 = ((points - np.array([cx, cy, cz])) ** 2).sum(-1)
         w = dens * np.exp(-d2 / (2 * (rad / 2.0) ** 2)).astype(np.float32)
         sigma += w
@@ -41,11 +47,12 @@ def scene_sigma_rgb(points):
     return sigma, rgb.astype(np.float32)
 
 
-def render_rays_analytic(origins, directions, near, far, n_samples=192, white_bkgd=True):
+def render_rays_analytic(origins, directions, near, far, n_samples=192, white_bkgd=True,
+                         density_scale=1.0):
     """Dense-quadrature volumetric render of the analytic scene."""
     t = np.linspace(near, far, n_samples, dtype=np.float32)
     pts = origins[..., None, :] + t[:, None] * directions[..., None, :]
-    sigma, rgb = scene_sigma_rgb(pts)
+    sigma, rgb = scene_sigma_rgb(pts, density_scale)
     dists = np.diff(t, append=t[-1] + (t[-1] - t[-2]))
     dists = dists * np.linalg.norm(directions, axis=-1, keepdims=True)
     alpha = 1.0 - np.exp(-sigma * dists)
@@ -59,7 +66,8 @@ def render_rays_analytic(origins, directions, near, far, n_samples=192, white_bk
     return np.clip(comp, 0.0, 1.0).astype(np.float32)
 
 
-def render_synthetic_scene(split, n_views, resolution, white_bkgd, near, far):
+def render_synthetic_scene(split, n_views, resolution, white_bkgd, near, far,
+                           density_scale=1.0):
     """Render n_views orbit cameras at `resolution`^2; returns
     (images [N,H,W,3], camtoworlds [N,4,4], focal)."""
     radius = 3.2
@@ -88,6 +96,7 @@ def render_synthetic_scene(split, n_views, resolution, white_bkgd, near, far):
         near,
         far,
         white_bkgd=white_bkgd,
+        density_scale=density_scale,
     ).reshape(n_views, resolution, resolution, 3)
     return images, camtoworlds, focal
 
@@ -177,7 +186,8 @@ def write_llff_dataset(out_dir, n_views=10, resolution=32):
     return out_dir
 
 
-def write_blender_dataset(out_dir, n_train=12, n_test=4, resolution=64, white_bkgd=True):
+def write_blender_dataset(out_dir, n_train=12, n_test=4, resolution=64, white_bkgd=True,
+                          density_scale=1.0):
     """Materialize the synthetic scene as an on-disk Blender-format dataset
     (transforms_{split}.json + PNGs) for end-to-end CLI tests."""
     import json
@@ -188,7 +198,8 @@ def write_blender_dataset(out_dir, n_train=12, n_test=4, resolution=64, white_bk
     camera_angle_x = 2.0 * np.arctan(0.5 * resolution / (1.1 * resolution))
     for split, n in (("train", n_train), ("test", n_test), ("val", n_test)):
         images, c2ws, _ = render_synthetic_scene(
-            split, n, resolution, white_bkgd, near=2.0, far=6.0
+            split, n, resolution, white_bkgd, near=2.0, far=6.0,
+            density_scale=density_scale,
         )
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
         frames = []
