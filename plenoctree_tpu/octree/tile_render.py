@@ -599,7 +599,7 @@ class TileRenderer:
                     pl.BlockSpec(
                         (1, RAYS, bd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                     ),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_specs=pl.BlockSpec(
                     (1, RAYS, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -92,7 +92,14 @@ def main():
     print(f"devices: {jax.devices()}")
     fx = reso * 1.1
     t0 = time.time()
-    tree = make_tree(depth)
+    cache = f"/tmp/bench_tree_d{depth}.npz"
+    if os.path.exists(cache):
+        from plenoctree_tpu.octree.n3tree import N3Tree
+
+        tree = N3Tree.load(cache)
+    else:
+        tree = make_tree(depth)
+        tree.save(cache, compress=False)
     print(
         f"tree: depth={tree.max_depth} n_internal={tree.n_internal} "
         f"n_leaves={tree.n_leaves} data_dim={tree.data_dim} "
