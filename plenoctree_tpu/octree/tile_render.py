@@ -56,7 +56,7 @@ from plenoctree_tpu.octree.renderer import RenderOptions, _ray_basis
 
 TILE = 16  # pixels per tile side (256 rays)
 RAYS = TILE * TILE
-RUNROWS = 128  # instance rows per DMA chunk
+RUNROWS = 128  # default instance rows per DMA chunk (must be a multiple of 128)
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +64,7 @@ RUNROWS = 128  # instance rows per DMA chunk
 # ---------------------------------------------------------------------------
 
 
-def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None):
+def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RUNROWS):
     """Host-side per-scene preprocessing.
 
     Each kept leaf is split into CLIPPED instances — one per coarse C^3
@@ -146,7 +146,7 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None):
     # also hands coefficient slices to the MXU with no transpose. Each
     # axis-major copy is padded to a 128 multiple so chunk windows stay
     # inside their copy.
-    npad = max(-(-n // RUNROWS) * RUNROWS, RUNROWS)
+    npad = max(-(-n // runrows) * runrows, runrows)
     fpad = -(-(6 + d_cols) // 8) * 8  # field rows padded to the sublane tile
     soa = np.zeros((fpad, 3 * npad), np.float32)
     csr = np.zeros((3, C * C * c2 + 1), np.int64)
@@ -336,7 +336,7 @@ def _tile_kernel(
     basis_ref,  # (1, RAYS, basis_dim)
     soa_ref,  # full field-major soa [fields, 3*npad], ANY/HBM
     out_ref,  # (1, RAYS, 8): rgb(nc) + light + pad
-    buf,  # VMEM (2, fields, RUNROWS)
+    buf,  # VMEM (2, fields, runrows)
     sem,  # DMA((2,))
     *,
     fmt,
@@ -344,6 +344,7 @@ def _tile_kernel(
     n_channels,
     sigma_row,
     rays,
+    runrows,
     step_eps,
     stop_thresh,
     od_cap,
@@ -355,26 +356,26 @@ def _tile_kernel(
     tmin = aux_ref[0, :, 1:2]
     tmax = aux_ref[0, :, 2:3]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, RUNROWS), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, runrows), 1)
 
     def chunk_c0(ri, k):
         """128-aligned column window of travel-order chunk k of range ri."""
         start = runs_s_ref[0, 0, ri]
         length = runs_l_ref[0, 0, ri]
-        first = (start // RUNROWS) * RUNROWS
-        last = ((start + length - 1) // RUNROWS) * RUNROWS
-        return jnp.where(rev == 1, last - k * RUNROWS, first + k * RUNROWS)
+        first = (start // runrows) * runrows
+        last = ((start + length - 1) // runrows) * runrows
+        return jnp.where(rev == 1, last - k * runrows, first + k * runrows)
 
     def chunk_dma(ri, k, slot):
-        c0 = pl.multiple_of(chunk_c0(ri, k), RUNROWS)
+        c0 = pl.multiple_of(chunk_c0(ri, k), runrows)
         return pltpu.make_async_copy(
-            soa_ref.at[:, pl.ds(c0, RUNROWS)], buf.at[slot], sem.at[slot]
+            soa_ref.at[:, pl.ds(c0, runrows)], buf.at[slot], sem.at[slot]
         )
 
     def next_rk(ri, k):
         start = runs_s_ref[0, 0, ri]
         length = runs_l_ref[0, 0, ri]
-        nck = (start + length - 1) // RUNROWS - start // RUNROWS + 1
+        nck = (start + length - 1) // runrows - start // runrows + 1
         done = k + 1 >= nck
         return jnp.where(done, ri + 1, ri), jnp.where(done, 0, k + 1)
 
@@ -401,11 +402,11 @@ def _tile_kernel(
         start = runs_s_ref[0, 0, ri]
         end = start + runs_l_ref[0, 0, ri]
         chunk_dma(ri, k, slot).wait()
-        f = buf[slot]  # [fields, RUNROWS]
-        rowid = chunk_c0(ri, k) + lane  # [1, RUNROWS]
+        f = buf[slot]  # [fields, runrows]
+        rowid = chunk_c0(ri, k) + lane  # [1, runrows]
         live = (rowid >= start) & (rowid < end)
 
-        # Ray/box slab test, [RAYS, RUNROWS] per axis.
+        # Ray/box slab test, [RAYS, runrows] per axis.
         tn = None
         tf = None
         for a in range(3):
@@ -420,10 +421,10 @@ def _tile_kernel(
         entry = jnp.maximum(tn, tmin)
         # Clipped boxes are an exact spatial partition (build_tile_index):
         # every replica a ray hits contributes exactly its own sub-segment,
-        # so no replica dedup is needed — this removes ~25 [RAYS, RUNROWS]
+        # so no replica dedup is needed — this removes ~25 [RAYS, runrows]
         # VPU ops (midpoint + cell-id reconstruction) from the hot loop.
         hit = (tf > entry) & (entry <= tmax) & live
-        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)  # [1, RUNROWS]
+        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)  # [1, runrows]
         sdt = jnp.where(hit, sigma * (tf - entry + step_eps) * dscale, 0.0)
 
         # Within-chunk occlusion order along the tile's mean direction: a
@@ -436,29 +437,29 @@ def _tile_kernel(
                 + (f[1:2, :] + f[4:5, :]) * mdir_ref[0, 0, 1]
                 + (f[2:3, :] + f[5:6, :]) * mdir_ref[0, 0, 2]
             )
-        )  # [1, RUNROWS]
+        )  # [1, runrows]
         eye = (
-            jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
         ).astype(jnp.float32)
         key_col = jax.lax.dot_general(
             eye,
             key,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [RUNROWS, 1] — lane->sublane move via MXU (no vector transpose)
-        rid = jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 0)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (RUNROWS, RUNROWS), 1)
+        )  # [runrows, 1] — lane->sublane move via MXU (no vector transpose)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
         before = (key_col < key) | ((key_col == key) & (rid < cid))
         occ = cum + jax.lax.dot(
             sdt, before.astype(jnp.float32), preferred_element_type=jnp.float32
-        )  # [RAYS, RUNROWS]
+        )  # [RAYS, runrows]
 
         light = jnp.exp(-occ)
         alive = light > stop_thresh
         contrib = jnp.where(alive, light * (1.0 - jnp.exp(-sdt)), 0.0)
 
-        # Per-channel decode: [RAYS, bd] x [bd, RUNROWS] on the MXU, no
+        # Per-channel decode: [RAYS, bd] x [bd, runrows] on the MXU, no
         # transposes or lane-dim reshapes.
         cols = []
         for c in range(n_channels):
@@ -508,6 +509,7 @@ class TileRenderer:
         stop_thresh=0.0,
         grid_c=64,
         fine_c2=None,
+        runrows=RUNROWS,
         rcap=256,
         w1cap=None,
         interpret=None,
@@ -521,7 +523,8 @@ class TileRenderer:
             sigma_thresh=sigma_thresh,
             stop_thresh=stop_thresh,
         )
-        self.index = build_tile_index(tree, sigma_thresh, grid_c, fine_c2)
+        self.runrows = runrows
+        self.index = build_tile_index(tree, sigma_thresh, grid_c, fine_c2, runrows)
         self.grid_c = grid_c
         self.fine_c2 = self.index["fine_c2"]
         self.rcap = rcap
@@ -562,6 +565,7 @@ class TileRenderer:
                 n_channels=self.n_channels,
                 sigma_row=int(self.index["sigma_row"]),
                 rays=self.rays,
+                runrows=self.runrows,
                 step_eps=self.opts.step_size,
                 stop_thresh=self.opts.stop_thresh,
                 od_cap=od_cap,
@@ -606,7 +610,7 @@ class TileRenderer:
                 ),
                 out_shape=jax.ShapeDtypeStruct((n_tiles, RAYS, 8), jnp.float32),
                 scratch_shapes=[
-                    pltpu.VMEM((2, fields, RUNROWS), jnp.float32),
+                    pltpu.VMEM((2, fields, self.runrows), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
                 interpret=self.interpret,

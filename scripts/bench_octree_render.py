@@ -85,6 +85,7 @@ def main():
     which = os.environ.get("BO_RENDERER", "tile")  # tile | march
     grid_c = int(os.environ.get("BO_GRID_C", 64))
     tile = int(os.environ.get("BO_TILE", 16))
+    runrows = int(os.environ.get("BO_RUNROWS", 128))
 
     from plenoctree_tpu.octree.renderer import VolumeRenderer
     from plenoctree_tpu.octree.tile_render import TileRenderer
@@ -115,6 +116,7 @@ def main():
             grid_c=grid_c,
             output="u8",
             tile=tile,
+            runrows=runrows,
         )
         print(
             f"tile renderer: C={grid_c} instances={rend.index['n_instances']}"
