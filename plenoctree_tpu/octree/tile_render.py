@@ -348,6 +348,7 @@ def _tile_kernel(
     step_eps,
     stop_thresh,
     od_cap,
+    use_bf16,
 ):
     n_ranges = meta_ref[0, 0, 0]
     rev = meta_ref[0, 0, 1]
@@ -451,8 +452,15 @@ def _tile_kernel(
         rid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
         before = (key_col < key) | ((key_col == key) & (rid < cid))
+        # bf16 inputs double MXU throughput; sdt values are O(sigma*dt)
+        # so the 2^-8 relative rounding keeps oracle parity well above the
+        # 40 dB bar (pinned by tests at both settings). Accumulation stays
+        # f32 via preferred_element_type.
+        mm_dt = jnp.bfloat16 if use_bf16 else jnp.float32
         occ = cum + jax.lax.dot(
-            sdt, before.astype(jnp.float32), preferred_element_type=jnp.float32
+            sdt.astype(mm_dt),
+            before.astype(mm_dt),
+            preferred_element_type=jnp.float32,
         )  # [RAYS, runrows]
 
         light = jnp.exp(-occ)
@@ -462,9 +470,12 @@ def _tile_kernel(
         # Per-channel decode: [RAYS, bd] x [bd, runrows] on the MXU, no
         # transposes or lane-dim reshapes.
         cols = []
+        basis_mm = basis.astype(mm_dt)
         for c in range(n_channels):
             coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
-            raw_c = jax.lax.dot(basis, coef_c, preferred_element_type=jnp.float32)
+            raw_c = jax.lax.dot(
+                basis_mm, coef_c.astype(mm_dt), preferred_element_type=jnp.float32
+            )
             rgb_c = jax.nn.sigmoid(raw_c) if fmt in ("SH", "SG") else raw_c
             cols.append(
                 acc[:, c : c + 1] + jnp.sum(contrib * rgb_c, axis=1, keepdims=True)
@@ -510,6 +521,7 @@ class TileRenderer:
         grid_c=64,
         fine_c2=None,
         runrows=RUNROWS,
+        use_bf16=True,
         rcap=256,
         w1cap=None,
         interpret=None,
@@ -524,6 +536,7 @@ class TileRenderer:
             stop_thresh=stop_thresh,
         )
         self.runrows = runrows
+        self.use_bf16 = use_bf16
         self.index = build_tile_index(tree, sigma_thresh, grid_c, fine_c2, runrows)
         self.grid_c = grid_c
         self.fine_c2 = self.index["fine_c2"]
@@ -566,6 +579,7 @@ class TileRenderer:
                 sigma_row=int(self.index["sigma_row"]),
                 rays=self.rays,
                 runrows=self.runrows,
+                use_bf16=self.use_bf16,
                 step_eps=self.opts.step_size,
                 stop_thresh=self.opts.stop_thresh,
                 od_cap=od_cap,
