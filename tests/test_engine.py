@@ -122,3 +122,62 @@ class TestEvalPoints:
         )
         assert rgb.shape == (1003, 3 * 4)  # sh_deg=1 -> 4 coeffs per channel
         assert sigma.shape == (1003, 1)
+
+
+class TestBackendCanary:
+    """The permutation canary (engine._canary) detects row-mixing
+    miscompiles and re-chunks around the poisoned batch shape."""
+
+    def test_broken_fn_triggers_rechunk(self):
+        from plenoctree_tpu import types
+
+        mesh = make_mesh()
+        calls = []
+
+        def render_fn(k0, k1, rays):
+            n = rays.origins.shape[0]
+            calls.append(n)
+            rgb = np.asarray(rays.origins).sum(-1, keepdims=True) * np.ones(3)
+            if n == 256:
+                # Simulated miscompile: mix rows at exactly batch 256.
+                rgb = np.roll(rgb, 7, axis=0)
+            aux = np.zeros((n, 1), np.float32)
+            return [(rgb.astype(np.float32), aux, aux)]
+
+        H = W = 32
+        rng_np = np.random.default_rng(0)
+        o = rng_np.random((H, W, 3)).astype(np.float32)
+        rays = types.Rays(origins=o, directions=o, viewdirs=o)
+        engine._POISONED_BATCHES.clear()
+        rgb, _, _ = engine.render_image(
+            render_fn, rays, random.PRNGKey(0), chunk=256, mesh=mesh
+        )
+        # Poisoned 256 detected, retried at a larger chunk; output correct.
+        assert 256 in engine._POISONED_BATCHES
+        np.testing.assert_allclose(
+            rgb[..., 0], o.reshape(H, W, 3).sum(-1), rtol=1e-6
+        )
+        engine._POISONED_BATCHES.clear()
+
+    def test_clean_fn_single_canary_execution(self):
+        from plenoctree_tpu import types
+
+        mesh = make_mesh()
+        calls = []
+
+        def render_fn(k0, k1, rays):
+            calls.append(rays.origins.shape[0])
+            rgb = np.asarray(rays.origins).sum(-1, keepdims=True) * np.ones(3)
+            aux = np.zeros((rgb.shape[0], 1), np.float32)
+            return [(rgb.astype(np.float32), aux, aux)]
+
+        H = W = 32
+        o = np.random.default_rng(1).random((H, W, 3)).astype(np.float32)
+        rays = types.Rays(origins=o, directions=o, viewdirs=o)
+        engine._POISONED_BATCHES.clear()
+        rgb, _, _ = engine.render_image(
+            render_fn, rays, random.PRNGKey(0), chunk=256, mesh=mesh
+        )
+        # 4 content chunks + exactly one canary re-execution.
+        assert len(calls) == 5
+        assert not engine._POISONED_BATCHES
