@@ -48,6 +48,15 @@ flags.DEFINE_integer(
     "subsample this many rays per optimizer step instead of the full image "
     "(unbiased minibatch; 0 = reference full-image behavior)",
 )
+flags.DEFINE_bool(
+    "tile_opt",
+    False,
+    "optimize through the Pallas tile-compositing renderer (whole-frame "
+    "MXU pipeline) instead of the exact march; not supported for NDC/LLFF",
+)
+flags.DEFINE_integer(
+    "tile_grid_c", 64, "tile optimizer coarse partition resolution"
+)
 config_lib.define_flags()
 
 
@@ -85,23 +94,45 @@ def main(unused_argv):
 
     opt_name = "SGD" if FLAGS.sgd else "Adam"
     h0print(f"Using {opt_name}, lr {FLAGS.lr}")
-    best_tree, best_psnr = optimize_tree(
-        tree,
-        train_c2w,
-        train_gt,
-        test_c2w,
-        test_gt,
-        focal,
-        cfg,
-        num_epochs=FLAGS.num_epochs,
-        lr=FLAGS.lr,
-        use_sgd=FLAGS.sgd,
-        sgd_momentum=FLAGS.sgd_momentum,
-        val_interval=FLAGS.val_interval,
-        continue_on_decrease=FLAGS.continue_on_decrease,
-        ndc=ndc,
-        rays_per_step=FLAGS.opt_rays_per_step,
-    )
+    if FLAGS.tile_opt and ndc is None:
+        from plenoctree_tpu.octree.tile_opt import optimize_tree_tiles
+
+        best_tree, best_psnr = optimize_tree_tiles(
+            tree,
+            train_c2w,
+            train_gt,
+            test_c2w,
+            test_gt,
+            focal,
+            cfg,
+            num_epochs=FLAGS.num_epochs,
+            lr=FLAGS.lr,
+            use_sgd=FLAGS.sgd,
+            sgd_momentum=FLAGS.sgd_momentum,
+            val_interval=FLAGS.val_interval,
+            continue_on_decrease=FLAGS.continue_on_decrease,
+            grid_c=FLAGS.tile_grid_c,
+        )
+    else:
+        if FLAGS.tile_opt:
+            h0print("tile_opt unsupported with NDC; falling back to the march")
+        best_tree, best_psnr = optimize_tree(
+            tree,
+            train_c2w,
+            train_gt,
+            test_c2w,
+            test_gt,
+            focal,
+            cfg,
+            num_epochs=FLAGS.num_epochs,
+            lr=FLAGS.lr,
+            use_sgd=FLAGS.sgd,
+            sgd_momentum=FLAGS.sgd_momentum,
+            val_interval=FLAGS.val_interval,
+            continue_on_decrease=FLAGS.continue_on_decrease,
+            ndc=ndc,
+            rays_per_step=FLAGS.opt_rays_per_step,
+        )
     if not FLAGS.nosave:
         if best_tree is not None:
             h0print("Saving best model to", FLAGS.output)

@@ -64,7 +64,9 @@ RUNROWS = 128  # default instance rows per DMA chunk (must be a multiple of 128)
 # ---------------------------------------------------------------------------
 
 
-def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RUNROWS):
+def build_tile_index(
+    tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RUNROWS, keep_all=False
+):
     """Host-side per-scene preprocessing.
 
     Each kept leaf is split into CLIPPED instances — one per coarse C^3
@@ -98,7 +100,12 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RU
         np.float32
     )
     sigma = data[:, -1]
-    keep = (sigma > 0.0) & (sigma > sigma_thresh)
+    if keep_all:
+        # Optimizer mode: every leaf stays in the index so zero-sigma leaves
+        # can revive under gradient (svox renders current data each step).
+        keep = np.ones(sigma.shape, bool)
+    else:
+        keep = (sigma > 0.0) & (sigma > sigma_thresh)
     corner, size, data = corner[keep], size[keep], data[keep]
 
     C = grid_c
@@ -152,6 +159,8 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RU
     csr = np.zeros((3, C * C * c2 + 1), np.int64)
     base = np.array([0, npad, 2 * npad], np.int64)
     margin = np.zeros(3, np.float32)
+    n_kept = int(keep.sum())
+    col_leaf = np.full(3 * npad, n_kept, np.int32)  # fill = dummy row
     ctr = 0.5 * (box_lo + box_hi)
     ext = box_hi - box_lo
     for axis in range(3):
@@ -160,10 +169,14 @@ def build_tile_index(tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RU
         key = (inst_vox[:, p[0]] * C + inst_vox[:, p[1]]) * c2 + v2
         order = np.argsort(key, kind="stable")
         soa[: 6 + d_cols, axis * npad : axis * npad + n] = rows[order].T
+        col_leaf[axis * npad : axis * npad + n] = inst_leaf[order]
         count = np.bincount(key, minlength=C * C * c2)
         csr[axis, 1:] = np.cumsum(count)
         margin[axis] = 0.5 * float(ext[:, p[2]].max()) if n else 0.0
     return {
+        "col_leaf": col_leaf,
+        "n_kept": n_kept,
+        "keep_mask": keep,
         "soa": jnp.asarray(soa),
         "csr": jnp.asarray(csr.astype(np.int32)),
         "base": jnp.asarray(base.astype(np.int32)),
@@ -632,36 +645,19 @@ class TileRenderer:
             self._p2_cache[key] = jax.jit(call)
         return self._p2_cache[key]
 
-    # -- whole-frame device function ----------------------------------------
+    # -- tile-input builder (shared by serving and the differentiable
+    #    optimizer, octree/tile_opt.py) ------------------------------------
 
-    def _frame_fn(self, height, width, fx, rcap):
-        """One jitted (c2w, soa, csr, base, extra) -> (img, n_max) frame.
-
-        Everything — ray generation, tree-space transforms, SH basis,
-        phase 1, the Pallas kernel, image assembly — runs in ONE device
-        dispatch so the host only ships a 4x4 pose in and the image out
-        (the axon tunnel charges ~28 ms per round trip). soa stays an
-        argument: jit must not close over multi-GB arrays (CLAUDE.md).
-        """
-        if self.w1cap is None:
-            self.w1cap = int(
-                min(
-                    self.grid_c,
-                    np.ceil(np.sqrt(3) * self.tile / fx * self.grid_c) + 3,
-                )
-            )
-        w1cap = self.w1cap
-        key = (height, width, float(fx), rcap, w1cap)
-        if key in self._frame_cache:
-            return self._frame_cache[key]
-
+    def make_tile_inputs_fn(self, height, width, fx, rcap, w1cap):
+        """Returns a traceable fn (c2w, csr, base, extra_data) ->
+        (p2_args_without_soa, n_total [T], w1_over [T]): ray generation,
+        tree-space transforms, SH basis, and the phase-1 frustum walk."""
         TILE = self.tile
         RAYS = self.rays
         hp = -(-height // TILE) * TILE
         wp = -(-width // TILE) * TILE
         n_tiles = (hp // TILE) * (wp // TILE)
         corners = np.array([0, TILE - 1, TILE * (TILE - 1), RAYS - 1], np.int32)
-        nc = self.n_channels
         p1 = jax.vmap(
             functools.partial(
                 _phase1,
@@ -672,7 +668,6 @@ class TileRenderer:
             ),
             in_axes=(None, None, None, 0, 0, 0, 0, 0),
         )
-        p2 = self._get_p2(n_tiles, rcap)
 
         def tilize(x):
             return (
@@ -681,7 +676,7 @@ class TileRenderer:
                 .reshape(-1, RAYS, 3)
             )
 
-        def frame(c2w, soa, csr, base, extra_data):
+        def tile_inputs(c2w, csr, base, extra_data):
             # Pinhole rays at the TRUE size (principal point at the true
             # center): edge-pad to the tile grid via clamped pixel coords.
             px = jnp.minimum(jnp.arange(wp, dtype=jnp.float32), width - 1.0)
@@ -731,7 +726,7 @@ class TileRenderer:
                 [delta_scale, tmin, tmax, jnp.zeros_like(tmin)], axis=-1
             )
             pad1 = jnp.zeros((n_tiles, RAYS, 1), jnp.float32)
-            out = p2(
+            p2_args = (
                 meta[:, None, :],
                 runs_start[:, None, :],
                 runs_len[:, None, :],
@@ -741,8 +736,46 @@ class TileRenderer:
                 aux,
                 mdir,
                 basis,
-                soa,
             )
+            return p2_args, n_total, w1_over
+
+        return tile_inputs
+
+    # -- whole-frame device function ----------------------------------------
+
+    def _frame_fn(self, height, width, fx, rcap):
+        """One jitted (c2w, soa, csr, base, extra) -> (img, n_max) frame.
+
+        Everything — ray generation, tree-space transforms, SH basis,
+        phase 1, the Pallas kernel, image assembly — runs in ONE device
+        dispatch so the host only ships a 4x4 pose in and the image out
+        (the axon tunnel charges ~28 ms per round trip). soa stays an
+        argument: jit must not close over multi-GB arrays (CLAUDE.md).
+        """
+        if self.w1cap is None:
+            self.w1cap = int(
+                min(
+                    self.grid_c,
+                    np.ceil(np.sqrt(3) * self.tile / fx * self.grid_c) + 3,
+                )
+            )
+        w1cap = self.w1cap
+        key = (height, width, float(fx), rcap, w1cap)
+        if key in self._frame_cache:
+            return self._frame_cache[key]
+
+        TILE = self.tile
+        RAYS = self.rays
+        hp = -(-height // TILE) * TILE
+        wp = -(-width // TILE) * TILE
+        n_tiles = (hp // TILE) * (wp // TILE)
+        nc = self.n_channels
+        p2 = self._get_p2(n_tiles, rcap)
+        tile_inputs = self.make_tile_inputs_fn(height, width, fx, rcap, w1cap)
+
+        def frame(c2w, soa, csr, base, extra_data):
+            p2_args, n_total, w1_over = tile_inputs(c2w, csr, base, extra_data)
+            out = p2(*p2_args, soa)
             rgb = out[:, :, :nc]
             light = out[:, :, nc]
             img = rgb + light[..., None] * self.opts.background_brightness
