@@ -42,9 +42,10 @@ from plenoctree_tpu.octree import tile_render as tr
 
 
 def _tile_bwd_kernel(
-    meta_ref,  # (1, 1, 4) SMEM
-    runs_s_ref,  # (1, 1, rcap) SMEM
-    runs_l_ref,  # (1, 1, rcap) SMEM
+    meta_ref,  # (1, 1, 4) SMEM: [n_chunks, 0, 0, 0]
+    chunk_c0_ref,  # (1, 1, ccap) SMEM
+    chunk_lo_ref,  # (1, 1, ccap) SMEM
+    chunk_hi_ref,  # (1, 1, ccap) SMEM
     o_ref,  # (1, RAYS, 4)
     invd_ref,  # (1, RAYS, 4)
     dn_ref,  # (1, RAYS, 4)  (unused here; kept for arg parity with fwd)
@@ -68,8 +69,7 @@ def _tile_bwd_kernel(
     runrows,
     step_eps,
 ):
-    n_ranges = meta_ref[0, 0, 0]
-    rev = meta_ref[0, 0, 1]
+    n_chunks = meta_ref[0, 0, 0]
     basis = basis_ref[0]  # [RAYS, bd]
     dscale = aux_ref[0, :, 0:1]
     tmin = aux_ref[0, :, 1:2]
@@ -85,47 +85,32 @@ def _tile_bwd_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, runrows), 1)
 
-    def chunk_c0(ri, k):
-        start = runs_s_ref[0, 0, ri]
-        length = runs_l_ref[0, 0, ri]
-        first = (start // runrows) * runrows
-        last = ((start + length - 1) // runrows) * runrows
-        return jnp.where(rev == 1, last - k * runrows, first + k * runrows)
-
-    def chunk_dma(ri, k, slot):
-        c0 = pl.multiple_of(chunk_c0(ri, k), runrows)
+    def chunk_dma(t, slot):
+        c0 = pl.multiple_of(chunk_c0_ref[0, 0, t], runrows)
         return pltpu.make_async_copy(
             soa_ref.at[:, pl.ds(c0, runrows)], buf.at[slot], sem.at[slot]
         )
 
-    def next_rk(ri, k):
-        start = runs_s_ref[0, 0, ri]
-        length = runs_l_ref[0, 0, ri]
-        nck = (start + length - 1) // runrows - start // runrows + 1
-        done = k + 1 >= nck
-        return jnp.where(done, ri + 1, ri), jnp.where(done, 0, k + 1)
-
-    @pl.when(n_ranges > 0)
+    @pl.when(n_chunks > 0)
     def _():
-        chunk_dma(0, 0, 0).start()
+        chunk_dma(0, 0).start()
 
     def cond(state):
-        ri, k, slot, cum, pref = state
-        return ri < n_ranges
+        t, cum, pref = state
+        return t < n_chunks
 
     def body(state):
-        ri, k, slot, cum, pref = state
-        ri2, k2 = next_rk(ri, k)
+        t, cum, pref = state
 
-        @pl.when(ri2 < n_ranges)
+        @pl.when(t + 1 < n_chunks)
         def _():
-            chunk_dma(ri2, k2, 1 - slot).start()
+            chunk_dma(t + 1, (t + 1) % 2).start()
 
-        start = runs_s_ref[0, 0, ri]
-        end = start + runs_l_ref[0, 0, ri]
-        chunk_dma(ri, k, slot).wait()
-        f = buf[slot]
-        c0 = pl.multiple_of(chunk_c0(ri, k), runrows)
+        start = chunk_lo_ref[0, 0, t]
+        end = chunk_hi_ref[0, 0, t]
+        chunk_dma(t, t % 2).wait()
+        f = buf[t % 2]
+        c0 = pl.multiple_of(chunk_c0_ref[0, 0, t], runrows)
         rowid = c0 + lane
         live = (rowid >= start) & (rowid < end)
 
@@ -235,11 +220,9 @@ def _tile_bwd_kernel(
 
         cum = cum + jnp.sum(sdt, axis=1, keepdims=True)
         pref = pref + jnp.sum(e, axis=1, keepdims=True)
-        return ri2, k2, 1 - slot, cum, pref
+        return t + 1, cum, pref
 
     init = (
-        jnp.int32(0),
-        jnp.int32(0),
         jnp.int32(0),
         jnp.zeros((rays, 1), jnp.float32),
         jnp.zeros((rays, 1), jnp.float32),
@@ -265,6 +248,8 @@ class TileOptimizer:
         fine_c2=None,
         runrows=tr.RUNROWS,
         rcap=256,
+        ccap=None,
+        nbuf=4,
         tile=tr.TILE,
         interpret=None,
     ):
@@ -286,6 +271,8 @@ class TileOptimizer:
         r.grid_c = grid_c
         r.fine_c2 = r.index["fine_c2"]
         r.rcap = rcap
+        r.ccap = ccap or 2 * rcap
+        r.nbuf = nbuf
         r.w1cap = None
         r.fmt = tree.data_format.format
         r.basis_dim = tree.data_format.basis_dim
@@ -328,7 +315,7 @@ class TileOptimizer:
 
     # -- kernels -----------------------------------------------------------
 
-    def _get_p2_bwd(self, n_tiles, rcap):
+    def _get_p2_bwd(self, n_tiles, ccap):
         """One-tile backward kernel, driven by a lax.scan over tiles.
 
         The accumulation buffer is the scan carry, aliased through the
@@ -337,7 +324,7 @@ class TileOptimizer:
         to an aliased ANY buffer (interpret mode keeps per-step copies),
         so cross-tile accumulation lives in XLA instead.
         """
-        key = (n_tiles, rcap)
+        key = (n_tiles, ccap)
         if key in self._bwd_cache:
             return self._bwd_cache[key]
         r = self.r
@@ -360,8 +347,9 @@ class TileOptimizer:
             kernel,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # meta (1,1,4)
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # runs_s (1,1,rcap)
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # runs_l
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_c0 (1,1,ccap)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_lo
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_hi
                 vspec,  # o
                 vspec,  # invd
                 vspec,  # dn
@@ -380,7 +368,7 @@ class TileOptimizer:
                 pltpu.VMEM((fields, r.runrows), jnp.float32),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
-            input_output_aliases={12: 0},
+            input_output_aliases={13: 0},
             interpret=r.interpret,
         )
 
@@ -391,7 +379,7 @@ class TileOptimizer:
                 )
                 args = [sl(a) for a in p2_args]
                 gsoa = call(
-                    *args[:9], soa, sl(out), sl(g), gsoa
+                    *args[:10], soa, sl(out), sl(g), gsoa
                 )
                 return gsoa, None
             gsoa, _ = jax.lax.scan(body, gz, jnp.arange(n_tiles))
@@ -411,16 +399,16 @@ class TileOptimizer:
             r.w1cap = int(
                 min(r.grid_c, np.ceil(np.sqrt(3) * r.tile / fx * r.grid_c) + 3)
             )
-        rcap, w1cap = r.rcap, r.w1cap
+        rcap, w1cap, ccap = r.rcap, r.w1cap, r.ccap
         TILE = r.tile
         RAYS = r.rays
         hp = -(-height // TILE) * TILE
         wp = -(-width // TILE) * TILE
         n_tiles = (hp // TILE) * (wp // TILE)
         nc = r.n_channels
-        tile_inputs = r.make_tile_inputs_fn(height, width, fx, rcap, w1cap)
-        p2 = r._get_p2(n_tiles, rcap)
-        p2b = self._get_p2_bwd(n_tiles, rcap)
+        tile_inputs = r.make_tile_inputs_fn(height, width, fx, rcap, w1cap, ccap)
+        p2 = r._get_p2(n_tiles, ccap)
+        p2b = self._get_p2_bwd(n_tiles, ccap)
 
         @jax.custom_vjp
         def run_tiles(soa, p2_args):
@@ -457,7 +445,7 @@ class TileOptimizer:
             )
 
         def loss_fn(leaf_dataT, c2w, gt):
-            p2_args, n_total, w1_over = tile_inputs(
+            p2_args, n_total, n_chunks, w1_over = tile_inputs(
                 c2w, idx["csr"], idx["base"], r.extra_data
             )
             p2_args = jax.lax.stop_gradient(p2_args)
@@ -475,12 +463,14 @@ class TileOptimizer:
             # (octree/optimization.py:218-219); jnp.clip's AD zeroes
             # out-of-range pixel gradients the same way torch.clamp does.
             loss = jnp.mean((jnp.clip(img, 0.0, 1.0) - gt) ** 2)
-            return loss, (img, jnp.max(n_total), jnp.max(w1_over))
+            return loss, (
+                img, jnp.max(n_total), jnp.max(n_chunks), jnp.max(w1_over)
+            )
 
         vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
         def render(leaf_dataT, c2w):
-            p2_args, n_total, w1_over = tile_inputs(
+            p2_args, n_total, n_chunks, w1_over = tile_inputs(
                 c2w, idx["csr"], idx["base"], r.extra_data
             )
             soa = assemble(leaf_dataT)
@@ -493,14 +483,14 @@ class TileOptimizer:
                 .transpose(0, 2, 1, 3, 4)
                 .reshape(hp, wp, nc)
             )[:height, :width]
-            return img, jnp.max(n_total), jnp.max(w1_over)
+            return img, jnp.max(n_total), jnp.max(n_chunks), jnp.max(w1_over)
 
         fns = (vg, jax.jit(render))
         self._loss_cache[key] = fns
         return fns
 
     def loss_and_grad(self, leaf_dataT, c2w, gt, height, width, fx):
-        """Returns ((loss, (img, n_max, w1_over)), grad_leaf_dataT)."""
+        """Returns ((loss, (img, n_max, nc_max, w1_over)), grad_leaf_dataT)."""
         vg, _ = self._loss_fn(height, width, fx)
         return vg(
             leaf_dataT, jnp.asarray(np.asarray(c2w, np.float32)), jnp.asarray(gt)
@@ -508,10 +498,10 @@ class TileOptimizer:
 
     def render(self, leaf_dataT, c2w, height, width, fx):
         _, render = self._loss_fn(height, width, fx)
-        img, n_max, w1_over = render(
+        img, n_max, nc_max, w1_over = render(
             leaf_dataT, jnp.asarray(np.asarray(c2w, np.float32))
         )
-        return np.asarray(img), int(n_max), int(w1_over)
+        return np.asarray(img), int(n_max), int(nc_max), int(w1_over)
 
 
 def optimize_tree_tiles(
@@ -548,11 +538,12 @@ def optimize_tree_tiles(
     fx = float(focal)
     step_size = cfg.renderer_step_size
 
-    state = {"rcap": 256, "w1cap": None}
+    state = {"rcap": 256, "ccap": 512, "w1cap": None}
 
     def build(leaf_prev=None):
         opt = TileOptimizer(
-            tree, step_size=step_size, grid_c=grid_c, rcap=state["rcap"]
+            tree, step_size=step_size, grid_c=grid_c,
+            rcap=state["rcap"], ccap=state["ccap"],
         )
         if state["w1cap"] is not None:
             opt.r.w1cap = state["w1cap"]
@@ -561,12 +552,16 @@ def optimize_tree_tiles(
 
     opt, leaf = build()
 
-    def regrow(n_max, w1_over):
+    def regrow(n_max, nc_max, w1_over):
         """Returns True if a cap grew (caller must redo the step)."""
         grew = False
         if n_max >= state["rcap"]:
             state["rcap"] = min(4096, state["rcap"] * 2)
             h0print(f"** regrowing tile rcap to {state['rcap']}")
+            grew = True
+        if nc_max > state["ccap"]:
+            state["ccap"] = min(16384, state["ccap"] * 2)
+            h0print(f"** regrowing tile ccap to {state['ccap']}")
             grew = True
         if w1_over > 0:
             cur = opt.r.w1cap or grid_c
@@ -592,8 +587,8 @@ def optimize_tree_tiles(
             tpsnr = 0.0
             grew = False
             for c2w, gt in zip(test_c2w, test_gt):
-                img, n_max, w1o = opt.render(leaf, c2w, h, w, fx)
-                if regrow(n_max, w1o):
+                img, n_max, nc_max, w1o = opt.render(leaf, c2w, h, w, fx)
+                if regrow(n_max, nc_max, w1o):
                     opt, _ = build(leaf)
                     grew = True
                     break
@@ -611,10 +606,10 @@ def optimize_tree_tiles(
         for c2w, gt in host0_tqdm(list(zip(train_c2w, train_gt))):
             gt3 = np.asarray(gt, np.float32)[..., :3]
             while True:
-                (loss, (_, n_max, w1o)), grad = opt.loss_and_grad(
+                (loss, (_, n_max, nc_max, w1o)), grad = opt.loss_and_grad(
                     leaf, c2w, gt3, h, w, fx
                 )
-                if regrow(int(n_max), int(w1o)):
+                if regrow(int(n_max), int(nc_max), int(w1o)):
                     opt, _ = build(leaf)
                     continue
                 break

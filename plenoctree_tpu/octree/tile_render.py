@@ -197,7 +197,8 @@ _SEG_II, _SEG_JJ = np.triu_indices(8, k=1)  # all 28 point pairs
 
 
 def _phase1(
-    csr, base, margin, o4, d4, span_lo, span_hi, any_hit, grid_c, fine_c2, w1cap, rcap
+    csr, base, margin, o4, d4, span_lo, span_hi, any_hit, grid_c, fine_c2,
+    w1cap, rcap, runrows, ccap,
 ):
     """One tile's candidate row ranges, front-to-back slab order.
 
@@ -326,7 +327,105 @@ def _phase1(
     runs_start = jnp.where(ok, flat_start[idx], 0)
     runs_len = jnp.where(ok, flat_len[idx], 0)
     rev = (jnp.sign(jnp.sum(dp[:, 2])) < 0).astype(jnp.int32)
-    return runs_start, runs_len, jnp.minimum(n_total, jnp.int32(2**30)), rev, w1_over
+    runs_start, runs_len, n_merged = _merge_runs(
+        runs_start, runs_len, jnp.minimum(n_total, rcap), rev, runrows, rcap
+    )
+    chunk_c0, chunk_lo, chunk_hi, n_chunks = _expand_chunks(
+        runs_start, runs_len, n_merged, rev, runrows, ccap
+    )
+    return (
+        chunk_c0,
+        chunk_lo,
+        chunk_hi,
+        n_chunks,
+        jnp.minimum(n_total, jnp.int32(2**30)),
+        w1_over,
+    )
+
+
+def _expand_chunks(runs_start, runs_len, n, rev, runrows, ccap):
+    """Flatten merged runs into per-DMA-chunk descriptors, travel order.
+
+    Moving the window walk out of the kernel lets phase 2 run a deep
+    ring-buffer DMA pipeline over a flat list (the kernel was latency-bound:
+    per-chunk compute is ~0.5 us while a 2-deep double buffer leaves the
+    HBM copy latency exposed) and drops the per-iteration scalar chain
+    (next-run bookkeeping) entirely. Each chunk descriptor is
+    (c0: aligned column window start, lo/hi: the owning run's row interval;
+    live rows = window ∩ [lo, hi))."""
+    s = runs_start
+    l = runs_len
+    first = (s // runrows) * runrows
+    last = ((s + jnp.maximum(l, 1) - 1) // runrows) * runrows
+    nck = jnp.where(l > 0, (last - first) // runrows + 1, 0)
+    cum = jnp.cumsum(nck)
+    n_chunks = jnp.where(n > 0, cum[-1], 0)
+    slots = jnp.arange(ccap, dtype=jnp.int32)
+    ri = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
+    ri = jnp.clip(ri, 0, s.shape[0] - 1)
+    prev = jnp.where(ri > 0, cum[jnp.maximum(ri - 1, 0)], 0)
+    w = slots - prev
+    c0 = jnp.where(rev == 1, last[ri] - w * runrows, first[ri] + w * runrows)
+    ok = slots < jnp.minimum(n_chunks, ccap)
+    chunk_c0 = jnp.where(ok, c0, 0)
+    chunk_lo = jnp.where(ok, s[ri], 0)
+    chunk_hi = jnp.where(ok, s[ri] + l[ri], 0)
+    return chunk_c0, chunk_lo, chunk_hi, jnp.minimum(n_chunks, jnp.int32(2**30))
+
+
+def _merge_runs(runs_start, runs_len, n, rev, runrows, rcap):
+    """Fuse emission-consecutive runs whose padded DMA windows overlap/abut.
+
+    Ranges average well under a DMA window (measured ~1.7x column quant
+    waste), so adjacent (slab, strip) emissions often share their boundary
+    window — fusing them removes the duplicated fetch AND lets the
+    precedence matmul order their shared-window rows geometrically. A
+    merged run spans [min start, max end); the gap rows between the
+    originals are rows of hull-excluded cells (phase 1's trim is exact up
+    to the center-bin margin), so no tile ray hits them and compositing
+    them in place is a no-op. Merging is restricted to runs consistent
+    with the travel direction (start nondecreasing for rev=0, nonincreasing
+    for rev=1) so the merged chunk walk preserves front-to-back order;
+    ranges are disjoint row intervals, so direction-consistent chains are
+    sorted and the pairwise window test equals the chain test.
+    """
+    s = runs_start
+    e = runs_start + runs_len
+    slots = jnp.arange(rcap, dtype=jnp.int32)
+    valid = slots < n
+
+    def align(v):
+        return (v // runrows) * runrows
+
+    ps = jnp.concatenate([s[:1], s[:-1]])
+    pe = jnp.concatenate([e[:1], e[:-1]])
+    dir_ok = jnp.where(rev == 1, s <= ps, s >= ps)
+    # rev=0: chain ascends (cur starts above prev's end) — merge when cur's
+    # first window reaches prev's last. rev=1: chain descends (cur ends
+    # below prev's start) — merge when prev's first consumed (lowest)
+    # window reaches cur's highest.
+    win_ok = jnp.where(
+        rev == 1,
+        align(ps) <= align(e - 1) + runrows,
+        align(s) <= align(pe - 1) + runrows,
+    )
+    merge_prev = valid & dir_ok & win_ok
+    merge_prev = merge_prev.at[0].set(False)
+    is_new = valid & ~merge_prev
+    gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_merged = jnp.maximum(gid[-1] + 1, 0) * (n > 0)
+    gid_safe = jnp.where(valid, gid, rcap - 1)
+    big = jnp.int32(2**30)
+    new_s = jax.ops.segment_min(
+        jnp.where(valid, s, big), gid_safe, num_segments=rcap
+    )
+    new_e = jax.ops.segment_max(
+        jnp.where(valid, e, -big), gid_safe, num_segments=rcap
+    )
+    gvalid = slots < n_merged
+    new_s = jnp.where(gvalid, new_s, 0)
+    new_len = jnp.where(gvalid, new_e - new_s, 0)
+    return new_s, new_len, n_merged
 
 
 # ---------------------------------------------------------------------------
@@ -337,9 +436,10 @@ def _phase1(
 def _tile_kernel(
     # per-tile SMEM scalars / lists (dummy middle dim: Mosaic requires the
     # last two block dims to be 8/128-divisible OR equal the array dims)
-    meta_ref,  # (1, 1, 4) i32: [n_ranges, rev, 0, 0]
-    runs_s_ref,  # (1, 1, rcap) i32
-    runs_l_ref,  # (1, 1, rcap) i32
+    meta_ref,  # (1, 1, 4) i32: [n_chunks, 0, 0, 0]
+    chunk_c0_ref,  # (1, 1, ccap) i32 — aligned column window starts
+    chunk_lo_ref,  # (1, 1, ccap) i32 — owning run's row interval
+    chunk_hi_ref,  # (1, 1, ccap) i32
     # per-tile VMEM ray blocks, ray-major [RAYS, c]
     o_ref,  # (1, RAYS, 4): origin xyz + pad
     invd_ref,  # (1, RAYS, 4)
@@ -349,8 +449,8 @@ def _tile_kernel(
     basis_ref,  # (1, RAYS, basis_dim)
     soa_ref,  # full field-major soa [fields, 3*npad], ANY/HBM
     out_ref,  # (1, RAYS, 8): rgb(nc) + light + pad
-    buf,  # VMEM (2, fields, runrows)
-    sem,  # DMA((2,))
+    buf,  # VMEM (NBUF, fields, runrows)
+    sem,  # DMA((NBUF,))
     *,
     fmt,
     basis_dim,
@@ -362,9 +462,9 @@ def _tile_kernel(
     stop_thresh,
     od_cap,
     use_bf16,
+    nbuf,
 ):
-    n_ranges = meta_ref[0, 0, 0]
-    rev = meta_ref[0, 0, 1]
+    n_chunks = meta_ref[0, 0, 0]
     basis = basis_ref[0]  # [RAYS, bd]
     dscale = aux_ref[0, :, 0:1]  # [RAYS, 1]
     tmin = aux_ref[0, :, 1:2]
@@ -372,52 +472,43 @@ def _tile_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, runrows), 1)
 
-    def chunk_c0(ri, k):
-        """128-aligned column window of travel-order chunk k of range ri."""
-        start = runs_s_ref[0, 0, ri]
-        length = runs_l_ref[0, 0, ri]
-        first = (start // runrows) * runrows
-        last = ((start + length - 1) // runrows) * runrows
-        return jnp.where(rev == 1, last - k * runrows, first + k * runrows)
-
-    def chunk_dma(ri, k, slot):
-        c0 = pl.multiple_of(chunk_c0(ri, k), runrows)
+    def chunk_dma(t, slot):
+        c0 = pl.multiple_of(chunk_c0_ref[0, 0, t], runrows)
         return pltpu.make_async_copy(
             soa_ref.at[:, pl.ds(c0, runrows)], buf.at[slot], sem.at[slot]
         )
 
-    def next_rk(ri, k):
-        start = runs_s_ref[0, 0, ri]
-        length = runs_l_ref[0, 0, ri]
-        nck = (start + length - 1) // runrows - start // runrows + 1
-        done = k + 1 >= nck
-        return jnp.where(done, ri + 1, ri), jnp.where(done, 0, k + 1)
+    # Ring-buffer pipeline, nbuf-1 chunks in flight: per-chunk compute is
+    # far smaller than the HBM copy latency, so a 2-deep double buffer left
+    # the kernel latency-bound; deeper prefetch keeps the DMA engine busy.
+    for p in range(nbuf - 1):
 
-    @pl.when(n_ranges > 0)
-    def _():
-        chunk_dma(0, 0, 0).start()
+        @pl.when(p < n_chunks)
+        def _(p=p):
+            chunk_dma(p, p).start()
 
     def cond(state):
-        ri, k, slot, cum, acc = state
-        return ri < n_ranges
+        t, n_started, cum, acc = state
+        return t < n_started
 
     def body(state):
-        ri, k, slot, cum, acc = state
-        ri2, k2 = next_rk(ri, k)
-        # Early tile exit once every ray is saturated: poison the iterator
-        # (this chunk still completes; no DMA is left in flight).
+        t, n_started, cum, acc = state
+        # Early tile exit once every ray is saturated: stop starting new
+        # DMAs; the loop drains the <= nbuf-1 already in flight (their
+        # compute is masked off by `stop` being absorbed into n_started).
         saturated = jnp.min(cum) > od_cap
-        ri2 = jnp.where(saturated, n_ranges, ri2)
+        do_start = (n_started < n_chunks) & ~saturated
 
-        @pl.when(ri2 < n_ranges)
+        @pl.when(do_start)
         def _():
-            chunk_dma(ri2, k2, 1 - slot).start()
+            chunk_dma(n_started, n_started % nbuf).start()
 
-        start = runs_s_ref[0, 0, ri]
-        end = start + runs_l_ref[0, 0, ri]
-        chunk_dma(ri, k, slot).wait()
-        f = buf[slot]  # [fields, runrows]
-        rowid = chunk_c0(ri, k) + lane  # [1, runrows]
+        n_started2 = jnp.where(do_start, n_started + 1, n_started)
+        start = chunk_lo_ref[0, 0, t]
+        end = chunk_hi_ref[0, 0, t]
+        chunk_dma(t, t % nbuf).wait()
+        f = buf[t % nbuf]  # [fields, runrows]
+        rowid = chunk_c0_ref[0, 0, t] + lane  # [1, runrows]
         live = (rowid >= start) & (rowid < end)
 
         # Ray/box slab test, [RAYS, runrows] per axis.
@@ -498,16 +589,15 @@ def _tile_kernel(
         # ray's remaining transmittance composites onto the background
         # unchanged rather than continuing to decay (ADVICE r2).
         cum = cum + jnp.sum(jnp.where(alive, sdt, 0.0), axis=1, keepdims=True)
-        return ri2, k2, 1 - slot, cum, acc
+        return t + 1, n_started2, cum, acc
 
     init = (
         jnp.int32(0),
-        jnp.int32(0),
-        jnp.int32(0),
+        jnp.minimum(jnp.int32(nbuf - 1), n_chunks),
         jnp.zeros((rays, 1), jnp.float32),
         jnp.zeros((rays, n_channels), jnp.float32),
     )
-    _, _, _, cum, acc = jax.lax.while_loop(cond, body, init)
+    _, _, cum, acc = jax.lax.while_loop(cond, body, init)
     pad = jnp.zeros((rays, 8 - n_channels - 1), jnp.float32)
     out_ref[0] = jnp.concatenate([acc, jnp.exp(-cum), pad], axis=1)
 
@@ -537,6 +627,8 @@ class TileRenderer:
         use_bf16=True,
         rcap=256,
         w1cap=None,
+        ccap=None,
+        nbuf=4,
         interpret=None,
         output="f32",
         tile=TILE,
@@ -555,6 +647,8 @@ class TileRenderer:
         self.fine_c2 = self.index["fine_c2"]
         self.rcap = rcap
         self.w1cap = w1cap
+        self.ccap = ccap or 2 * rcap
+        self.nbuf = nbuf
         self.fmt = tree.data_format.format
         self.basis_dim = tree.data_format.basis_dim
         self.n_channels = (self.index["sigma_row"] - 6) // self.basis_dim
@@ -574,8 +668,8 @@ class TileRenderer:
 
     # -- jit caches ---------------------------------------------------------
 
-    def _get_p2(self, n_tiles, rcap):
-        key = (n_tiles, rcap)
+    def _get_p2(self, n_tiles, ccap):
+        key = (n_tiles, ccap)
         RAYS = self.rays
         if key not in self._p2_cache:
             fields = int(self.index["soa"].shape[0])
@@ -596,6 +690,7 @@ class TileRenderer:
                 step_eps=self.opts.step_size,
                 stop_thresh=self.opts.stop_thresh,
                 od_cap=od_cap,
+                nbuf=self.nbuf,
             )
             bd = self.basis_dim
             nc = self.n_channels
@@ -607,10 +702,13 @@ class TileRenderer:
                         (1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
                     ),
                     pl.BlockSpec(
-                        (1, 1, rcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                        (1, 1, ccap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
                     ),
                     pl.BlockSpec(
-                        (1, 1, rcap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                        (1, 1, ccap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, ccap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
                     ),
                     pl.BlockSpec(
                         (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -637,8 +735,8 @@ class TileRenderer:
                 ),
                 out_shape=jax.ShapeDtypeStruct((n_tiles, RAYS, 8), jnp.float32),
                 scratch_shapes=[
-                    pltpu.VMEM((2, fields, self.runrows), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((self.nbuf, fields, self.runrows), jnp.float32),
+                    pltpu.SemaphoreType.DMA((self.nbuf,)),
                 ],
                 interpret=self.interpret,
             )
@@ -648,10 +746,12 @@ class TileRenderer:
     # -- tile-input builder (shared by serving and the differentiable
     #    optimizer, octree/tile_opt.py) ------------------------------------
 
-    def make_tile_inputs_fn(self, height, width, fx, rcap, w1cap):
+    def make_tile_inputs_fn(self, height, width, fx, rcap, w1cap, ccap=None):
         """Returns a traceable fn (c2w, csr, base, extra_data) ->
-        (p2_args_without_soa, n_total [T], w1_over [T]): ray generation,
-        tree-space transforms, SH basis, and the phase-1 frustum walk."""
+        (p2_args_without_soa, n_total [T], n_chunks [T], w1_over [T]): ray
+        generation, tree-space transforms, SH basis, and the phase-1
+        frustum walk (including DMA chunk-list expansion)."""
+        ccap = ccap or self.ccap
         TILE = self.tile
         RAYS = self.rays
         hp = -(-height // TILE) * TILE
@@ -665,6 +765,8 @@ class TileRenderer:
                 fine_c2=self.fine_c2,
                 w1cap=w1cap,
                 rcap=rcap,
+                runrows=self.runrows,
+                ccap=ccap,
             ),
             in_axes=(None, None, None, 0, 0, 0, 0, 0),
         )
@@ -710,14 +812,16 @@ class TileRenderer:
             any_hit = jnp.any(ray_ok, axis=1)
             span_lo = jnp.min(jnp.where(ray_ok, tmin, jnp.inf), axis=1)
             span_hi = jnp.max(jnp.where(ray_ok, tmax, -jnp.inf), axis=1)
-            runs_start, runs_len, n_total, rev, w1_over = p1(
+            chunk_c0, chunk_lo, chunk_hi, n_chunks, n_total, w1_over = p1(
                 csr, base, self.index["margin"], o[:, corners], dn[:, corners],
                 span_lo, span_hi, any_hit,
             )
-            n_ranges = jnp.minimum(n_total, rcap).astype(jnp.int32)
-            meta = jnp.stack(
-                [n_ranges, rev, jnp.zeros_like(rev), jnp.zeros_like(rev)], axis=-1
-            )
+            # Kernel iterates the chunk list; saturation detection keys on
+            # the pre-merge emission count (rcap) and the pre-clip chunk
+            # count (ccap).
+            nck = jnp.minimum(n_chunks, ccap).astype(jnp.int32)
+            z = jnp.zeros_like(nck)
+            meta = jnp.stack([nck, z, z, z], axis=-1)
             mean_d = jnp.mean(dn, axis=1)
             mdir = jnp.concatenate(
                 [mean_d, jnp.zeros((n_tiles, 1), jnp.float32)], axis=-1
@@ -728,8 +832,9 @@ class TileRenderer:
             pad1 = jnp.zeros((n_tiles, RAYS, 1), jnp.float32)
             p2_args = (
                 meta[:, None, :],
-                runs_start[:, None, :],
-                runs_len[:, None, :],
+                chunk_c0[:, None, :],
+                chunk_lo[:, None, :],
+                chunk_hi[:, None, :],
                 jnp.concatenate([o, pad1], axis=-1),
                 jnp.concatenate([invd, pad1], axis=-1),
                 jnp.concatenate([dn, pad1], axis=-1),
@@ -737,13 +842,13 @@ class TileRenderer:
                 mdir,
                 basis,
             )
-            return p2_args, n_total, w1_over
+            return p2_args, n_total, n_chunks, w1_over
 
         return tile_inputs
 
     # -- whole-frame device function ----------------------------------------
 
-    def _frame_fn(self, height, width, fx, rcap):
+    def _frame_fn(self, height, width, fx, rcap, ccap):
         """One jitted (c2w, soa, csr, base, extra) -> (img, n_max) frame.
 
         Everything — ray generation, tree-space transforms, SH basis,
@@ -760,7 +865,7 @@ class TileRenderer:
                 )
             )
         w1cap = self.w1cap
-        key = (height, width, float(fx), rcap, w1cap)
+        key = (height, width, float(fx), rcap, ccap, w1cap)
         if key in self._frame_cache:
             return self._frame_cache[key]
 
@@ -770,11 +875,13 @@ class TileRenderer:
         wp = -(-width // TILE) * TILE
         n_tiles = (hp // TILE) * (wp // TILE)
         nc = self.n_channels
-        p2 = self._get_p2(n_tiles, rcap)
-        tile_inputs = self.make_tile_inputs_fn(height, width, fx, rcap, w1cap)
+        p2 = self._get_p2(n_tiles, ccap)
+        tile_inputs = self.make_tile_inputs_fn(height, width, fx, rcap, w1cap, ccap)
 
         def frame(c2w, soa, csr, base, extra_data):
-            p2_args, n_total, w1_over = tile_inputs(c2w, csr, base, extra_data)
+            p2_args, n_total, n_chunks, w1_over = tile_inputs(
+                c2w, csr, base, extra_data
+            )
             out = p2(*p2_args, soa)
             rgb = out[:, :, :nc]
             light = out[:, :, nc]
@@ -785,17 +892,19 @@ class TileRenderer:
                 .reshape(hp, wp, nc)
             )[:height, :width]
             n_max = jnp.max(n_total)
+            nc_max = jnp.max(n_chunks)
             w1_max = jnp.max(w1_over).astype(jnp.int32)
             if self.output == "u8":
-                # One packed u8 payload (image + n_max/w1_over bytes): the
-                # tunnel charges ~28 ms per fetch and ~4 ms/MB, so one small
-                # transfer replaces a float image + scalar round trips.
+                # One packed u8 payload (image + n_max/nc_max/w1_over
+                # bytes): the tunnel charges ~28 ms per fetch and ~4 ms/MB,
+                # so one small transfer replaces a float image + scalar
+                # round trips.
                 img8 = jnp.round(jnp.clip(img, 0.0, 1.0) * 255.0).astype(jnp.uint8)
                 tail = jax.lax.bitcast_convert_type(
-                    jnp.stack([n_max, w1_max]), jnp.uint8
+                    jnp.stack([n_max, nc_max, w1_max]), jnp.uint8
                 ).reshape(-1)
                 return jnp.concatenate([img8.reshape(-1), tail])
-            return img, n_max, w1_max
+            return img, n_max, nc_max, w1_max
 
         fn = jax.jit(frame)
         self._frame_cache[key] = fn
@@ -805,7 +914,7 @@ class TileRenderer:
         """Dispatch one frame; returns the device payload (no host sync).
         Use for pipelined serving: fetch frame k while k+1 renders. The
         rcap/w1cap saturation checks run at fetch time via finish_frame."""
-        fn = self._frame_fn(height, width, fx, self.rcap)
+        fn = self._frame_fn(height, width, fx, self.rcap, self.ccap)
         idx = self.index
         return fn(
             jnp.asarray(np.asarray(c2w, np.float32)),
@@ -813,20 +922,20 @@ class TileRenderer:
         )
 
     def _fetch(self, out, height, width):
-        """Device payload -> (img, n_max, w1_over) on host."""
+        """Device payload -> (img, n_max, nc_max, w1_over) on host."""
         if self.output == "u8":
             payload = np.asarray(out)
-            img = payload[:-8].reshape(height, width, self.n_channels)
-            n_max, w1_over = (int(x) for x in payload[-8:].view(np.int32))
+            img = payload[:-12].reshape(height, width, self.n_channels)
+            n_max, nc_max, w1_over = (int(x) for x in payload[-12:].view(np.int32))
         else:
-            img, n_max, w1_over = out
+            img, n_max, nc_max, w1_over = out
             img = np.asarray(img)
-            n_max, w1_over = int(n_max), int(w1_over)
-        return img, n_max, w1_over
+            n_max, nc_max, w1_over = int(n_max), int(nc_max), int(w1_over)
+        return img, n_max, nc_max, w1_over
 
-    def _check_caps(self, n_max, w1_over):
-        """Grow rcap/w1cap on saturation. Returns True if a re-render is
-        needed (the frame dropped geometry)."""
+    def _check_caps(self, n_max, nc_max, w1_over):
+        """Grow rcap/ccap/w1cap on saturation. Returns True if a re-render
+        is needed (the frame dropped geometry)."""
         import warnings
 
         regrow = False
@@ -844,6 +953,15 @@ class TileRenderer:
             else:
                 self.rcap = int(min(4096, 2 * self.rcap))
                 regrow = True
+        if nc_max > self.ccap:
+            if self.ccap >= 16384:
+                warnings.warn(
+                    f"tile chunk capacity clipped at {self.ccap} (< {nc_max}): "
+                    "frame rendered with truncated geometry"
+                )
+            else:
+                self.ccap = int(min(16384, 2 * self.ccap))
+                regrow = True
         return regrow
 
     def render_persp(self, c2w, height, width, fx):
@@ -851,7 +969,7 @@ class TileRenderer:
         renderer was constructed with output="u8")."""
         while True:
             out = self.render_persp_async(c2w, height, width, fx)
-            img, n_max, w1_over = self._fetch(out, height, width)
-            if not self._check_caps(n_max, w1_over):
+            img, n_max, nc_max, w1_over = self._fetch(out, height, width)
+            if not self._check_caps(n_max, nc_max, w1_over):
                 return img
             # Sticky growth: a new compile, rare, persists per renderer.

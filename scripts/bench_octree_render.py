@@ -156,8 +156,8 @@ def main():
                 if i + 1 < frames
                 else None
             )
-            img, n_max, w1_over = rend._fetch(pending, reso, reso)
-            rend._check_caps(n_max, w1_over)
+            img, n_max, nc_max, w1_over = rend._fetch(pending, reso, reso)
+            rend._check_caps(n_max, nc_max, w1_over)
             t1 = time.time()
             times.append(t1 - t0)
             t0 = t1

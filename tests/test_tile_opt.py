@@ -41,7 +41,7 @@ def setup():
     c2w = orbit_pose()
     # Ground truth: the serving renderer's own exact-mode output on the
     # original data, slightly perturbed so the loss/gradient are nonzero.
-    img0, _, _ = opt.render(leaf, c2w, H, W, FX)
+    img0, _, _, _ = opt.render(leaf, c2w, H, W, FX)
     rng = np.random.default_rng(3)
     gt = np.clip(img0 + 0.15 * rng.standard_normal(img0.shape), 0, 1).astype(
         np.float32
@@ -52,7 +52,7 @@ def setup():
 class TestTileOpt:
     def test_forward_matches_serving_renderer(self, setup):
         tree, opt, leaf, c2w, gt = setup
-        img, _, _ = opt.render(leaf, c2w, H, W, FX)
+        img, _, _, _ = opt.render(leaf, c2w, H, W, FX)
         serve = TileRenderer(tree, step_size=1e-3, grid_c=8, rcap=128,
                              use_bf16=False)
         img_s = serve.render_persp(c2w, H, W, FX)
@@ -60,10 +60,10 @@ class TestTileOpt:
 
     def test_loss_value_matches_render(self, setup):
         tree, opt, leaf, c2w, gt = setup
-        (loss, (img, n_max, w1o)), grad = opt.loss_and_grad(
+        (loss, (img, n_max, nc_max, w1o)), grad = opt.loss_and_grad(
             leaf, c2w, gt, H, W, FX
         )
-        img2, _, _ = opt.render(leaf, c2w, H, W, FX)
+        img2, _, _, _ = opt.render(leaf, c2w, H, W, FX)
         ref = float(np.mean((img2 - gt) ** 2))
         assert abs(float(loss) - ref) < 1e-6
         assert grad.shape == leaf.shape
@@ -127,7 +127,7 @@ class TestTileOpt:
         # from perturbed data, so the loss can actually approach zero
         # (pixel-noise targets plateau at the irreducible noise floor).
         tree, opt, leaf, c2w, gt = setup
-        img_true, _, _ = opt.render(leaf, c2w, H, W, FX)
+        img_true, _, _, _ = opt.render(leaf, c2w, H, W, FX)
         rng = np.random.default_rng(7)
         leaf_np = np.asarray(leaf)
         pert = leaf_np + 0.3 * rng.standard_normal(leaf_np.shape).astype(

@@ -81,6 +81,74 @@ class TestTileIndex:
         assert (key == cell_of_row).all()
 
 
+class TestMergeRuns:
+    """_merge_runs: window-overlap fusion must cover every original row,
+    stay direction-consistent, and never fetch extra DMA windows."""
+
+    def _windows(self, s, l, runrows):
+        w = set()
+        for a, b in zip(s, l):
+            if b <= 0:
+                continue
+            for c in range(
+                (a // runrows) * runrows,
+                ((a + b - 1) // runrows) * runrows + 1,
+                runrows,
+            ):
+                w.add(c)
+        return w
+
+    @pytest.mark.parametrize("rev", [0, 1])
+    def test_random_runs(self, rev):
+        import jax.numpy as jnp
+        from plenoctree_tpu.octree.tile_render import _merge_runs
+
+        rng = np.random.default_rng(11 + rev)
+        runrows, rcap = 128, 64
+        for _ in range(25):
+            n = int(rng.integers(0, 20))
+            # Disjoint sorted intervals, travel-ordered by rev.
+            starts = np.sort(rng.choice(20000, size=n, replace=False))
+            lens = rng.integers(1, 300, size=n)
+            ends = starts + lens
+            keep = np.ones(n, bool)
+            for i in range(1, n):
+                if starts[i] < ends[: i][keep[:i]].max(initial=-1):
+                    keep[i] = False
+            starts, lens = starts[keep], lens[keep]
+            n = starts.shape[0]
+            if rev:
+                starts, lens = starts[::-1].copy(), lens[::-1].copy()
+            s = np.zeros(rcap, np.int32)
+            l = np.zeros(rcap, np.int32)
+            s[:n], l[:n] = starts, lens
+            ms, ml, mn = _merge_runs(
+                jnp.asarray(s), jnp.asarray(l), jnp.int32(n),
+                jnp.int32(rev), runrows, rcap,
+            )
+            ms, ml, mn = np.asarray(ms), np.asarray(ml), int(mn)
+            assert mn <= n
+            # Every original row is inside some merged run.
+            orig = set()
+            for a, b in zip(starts, lens):
+                orig.update(range(a, a + b))
+            merged = set()
+            for a, b in zip(ms[:mn], ml[:mn]):
+                merged.update(range(a, a + b))
+            assert orig <= merged
+            # No extra DMA windows are introduced.
+            assert self._windows(ms[:mn], ml[:mn], runrows) <= self._windows(
+                starts, lens, runrows
+            )
+            # Merged runs stay in travel order (disjoint, monotone).
+            me = ms[:mn] + ml[:mn]
+            for i in range(1, mn):
+                if rev:
+                    assert me[i] <= ms[i - 1]
+                else:
+                    assert ms[i] >= me[i - 1]
+
+
 class TestTileVsOracle:
     @pytest.mark.parametrize("grid_c", [16, 32])
     def test_matches_march_oracle(self, scene_tree, grid_c):
