@@ -487,6 +487,13 @@ def _tile_kernel(
         def _(p=p):
             chunk_dma(p, p).start()
 
+    # Hoisted per-tile constants: o*invd puts the slab test in FMA form
+    # (t = box*invd - oi), and the ones column turns [RAYS, R] -> [RAYS, 1]
+    # lane reductions into MXU matmuls (cross-lane VPU reduces are
+    # multi-pass; the MXU pipe is otherwise idle between the two big dots).
+    oi = o_ref[0, :, :] * invd_ref[0, :, :]  # [RAYS, 4]
+    ones_col = jnp.ones((runrows, 1), jnp.float32)
+
     def cond(state):
         t, n_started, cum, acc = state
         return t < n_started
@@ -511,14 +518,15 @@ def _tile_kernel(
         rowid = chunk_c0_ref[0, 0, t] + lane  # [1, runrows]
         live = (rowid >= start) & (rowid < end)
 
-        # Ray/box slab test, [RAYS, runrows] per axis.
+        # Ray/box slab test, [RAYS, runrows] per axis (FMA form).
         tn = None
         tf = None
         for a in range(3):
-            t1 = (f[a : a + 1, :] - o_ref[0, :, a : a + 1]) * invd_ref[0, :, a : a + 1]
-            t2 = (f[3 + a : 4 + a, :] - o_ref[0, :, a : a + 1]) * invd_ref[
-                0, :, a : a + 1
-            ]
+            t1 = f[a : a + 1, :] * invd_ref[0, :, a : a + 1] - oi[:, a : a + 1]
+            t2 = (
+                f[3 + a : 4 + a, :] * invd_ref[0, :, a : a + 1]
+                - oi[:, a : a + 1]
+            )
             tn_a = jnp.minimum(t1, t2)
             tf_a = jnp.maximum(t1, t2)
             tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
@@ -580,15 +588,29 @@ def _tile_kernel(
             raw_c = jax.lax.dot(
                 basis_mm, coef_c.astype(mm_dt), preferred_element_type=jnp.float32
             )
-            rgb_c = jax.nn.sigmoid(raw_c) if fmt in ("SH", "SG") else raw_c
+            if fmt in ("SH", "SG"):
+                # sigmoid(x) = 0.5*tanh(x/2) + 0.5: one EUP transcendental
+                # + FMA instead of exp/add/divide.
+                rgb_c = 0.5 * jnp.tanh(0.5 * raw_c) + 0.5
+            else:
+                rgb_c = raw_c
             cols.append(
-                acc[:, c : c + 1] + jnp.sum(contrib * rgb_c, axis=1, keepdims=True)
+                acc[:, c : c + 1]
+                + jax.lax.dot(
+                    (contrib * rgb_c).astype(mm_dt),
+                    ones_col.astype(mm_dt),
+                    preferred_element_type=jnp.float32,
+                )
             )
         acc = jnp.concatenate(cols, axis=1)
         # Freeze opacity once a ray stops (march/svox parity): a stopped
         # ray's remaining transmittance composites onto the background
         # unchanged rather than continuing to decay (ADVICE r2).
-        cum = cum + jnp.sum(jnp.where(alive, sdt, 0.0), axis=1, keepdims=True)
+        cum = cum + jax.lax.dot(
+            jnp.where(alive, sdt, 0.0).astype(mm_dt),
+            ones_col.astype(mm_dt),
+            preferred_element_type=jnp.float32,
+        )
         return t + 1, n_started2, cum, acc
 
     init = (
