@@ -67,9 +67,12 @@ def _tile_bwd_kernel(
     sigma_row,
     rays,
     runrows,
+    quantum,
     step_eps,
 ):
-    n_chunks = meta_ref[0, 0, 0]
+    n_pieces = meta_ref[0, 0, 0]
+    G = runrows // quantum
+    n_chunks = (n_pieces + G - 1) // G
     basis = basis_ref[0]  # [RAYS, bd]
     dscale = aux_ref[0, :, 0:1]
     tmin = aux_ref[0, :, 1:2]
@@ -84,16 +87,48 @@ def _tile_bwd_kernel(
     )  # [RAYS, 1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, runrows), 1)
+    sublane = lane % quantum
 
-    def chunk_dma(t, slot):
-        c0 = pl.multiple_of(chunk_c0_ref[0, 0, t], runrows)
+    def piece_dma(p, slot, g):
+        c0 = pl.multiple_of(chunk_c0_ref[0, 0, p], quantum)
         return pltpu.make_async_copy(
-            soa_ref.at[:, pl.ds(c0, runrows)], buf.at[slot], sem.at[slot]
+            soa_ref.at[:, pl.ds(c0, quantum)],
+            buf.at[slot, :, pl.ds(g * quantum, quantum)],
+            sem.at[slot, g],
         )
+
+    def chunk_start(t, slot):
+        for g in range(G):
+
+            @pl.when(t * G + g < n_pieces)
+            def _(g=g):
+                piece_dma(t * G + g, slot, g).start()
+
+    def chunk_wait(t, slot):
+        for g in range(G):
+
+            @pl.when(t * G + g < n_pieces)
+            def _(g=g):
+                piece_dma(t * G + g, slot, g).wait()
+
+    def lane_meta(t):
+        rowid = jnp.zeros((1, runrows), jnp.int32)
+        lo_v = jnp.zeros((1, runrows), jnp.int32)
+        hi_v = jnp.zeros((1, runrows), jnp.int32)
+        for g in range(G):
+            in_g = (lane >= g * quantum) & (lane < (g + 1) * quantum)
+            p = jnp.minimum(t * G + g, n_pieces - 1)
+            valid_p = t * G + g < n_pieces
+            rowid = jnp.where(in_g, chunk_c0_ref[0, 0, p] + sublane, rowid)
+            lo_v = jnp.where(in_g & valid_p, chunk_lo_ref[0, 0, p], lo_v)
+            hi_v = jnp.where(in_g & valid_p, chunk_hi_ref[0, 0, p], hi_v)
+        return rowid, lo_v, hi_v
+
+    buf[...] = jnp.zeros(buf.shape, jnp.float32)
 
     @pl.when(n_chunks > 0)
     def _():
-        chunk_dma(0, 0).start()
+        chunk_start(0, 0)
 
     def cond(state):
         t, cum, pref = state
@@ -104,15 +139,12 @@ def _tile_bwd_kernel(
 
         @pl.when(t + 1 < n_chunks)
         def _():
-            chunk_dma(t + 1, (t + 1) % 2).start()
+            chunk_start(t + 1, (t + 1) % 2)
 
-        start = chunk_lo_ref[0, 0, t]
-        end = chunk_hi_ref[0, 0, t]
-        chunk_dma(t, t % 2).wait()
+        chunk_wait(t, t % 2)
         f = buf[t % 2]
-        c0 = pl.multiple_of(chunk_c0_ref[0, 0, t], runrows)
-        rowid = c0 + lane
-        live = (rowid >= start) & (rowid < end)
+        rowid, lo_v, hi_v = lane_meta(t)
+        live = (rowid >= lo_v) & (rowid < hi_v)
 
         # --- forward replay (identical math to _tile_kernel) -------------
         tn = None
@@ -206,17 +238,29 @@ def _tile_bwd_kernel(
         if tail:
             gparts.append(jnp.zeros((tail, runrows), jnp.float32))
         gval = jnp.concatenate(gparts, axis=0)
-        rd = pltpu.make_async_copy(
-            gsoa_ref.at[:, pl.ds(c0, runrows)], gtmp, sem.at[2]
-        )
-        rd.start()
-        rd.wait()
-        gtmp[:] = gtmp[:] + gval
-        wr = pltpu.make_async_copy(
-            gtmp, gsoa_ref.at[:, pl.ds(c0, runrows)], sem.at[3]
-        )
-        wr.start()
-        wr.wait()
+        # Per-piece RMW, strictly sequential: after run merging, duplicate
+        # blocks within a chunk only arise at rare direction-flip
+        # boundaries, and read-add-write per piece keeps those correct
+        # (the g-th write lands before the g+1-th read).
+        for g in range(G):
+
+            @pl.when(t * G + g < n_pieces)
+            def _(g=g):
+                c0 = pl.multiple_of(chunk_c0_ref[0, 0, t * G + g], quantum)
+                gdst = gsoa_ref.at[:, pl.ds(c0, quantum)]
+                gslc = gtmp.at[:, pl.ds(g * quantum, quantum)]
+                # Dedicated semaphore row: rows 0-1 belong to the (possibly
+                # in-flight) piece prefetches of the two ring slots.
+                rd = pltpu.make_async_copy(gdst, gslc, sem.at[2, 0])
+                rd.start()
+                rd.wait()
+                gtmp[:, g * quantum : (g + 1) * quantum] = (
+                    gtmp[:, g * quantum : (g + 1) * quantum]
+                    + gval[:, g * quantum : (g + 1) * quantum]
+                )
+                wr = pltpu.make_async_copy(gslc, gdst, sem.at[2, 0])
+                wr.start()
+                wr.wait()
 
         cum = cum + jnp.sum(sdt, axis=1, keepdims=True)
         pref = pref + jnp.sum(e, axis=1, keepdims=True)
@@ -250,6 +294,7 @@ class TileOptimizer:
         rcap=256,
         ccap=None,
         nbuf=4,
+        quantum=32,
         tile=tr.TILE,
         interpret=None,
     ):
@@ -271,8 +316,9 @@ class TileOptimizer:
         r.grid_c = grid_c
         r.fine_c2 = r.index["fine_c2"]
         r.rcap = rcap
-        r.ccap = ccap or 2 * rcap
+        r.ccap = ccap or rcap * max(2, tr.RUNROWS // quantum)
         r.nbuf = nbuf
+        r.quantum = quantum
         r.w1cap = None
         r.fmt = tree.data_format.format
         r.basis_dim = tree.data_format.basis_dim
@@ -339,6 +385,7 @@ class TileOptimizer:
             sigma_row=int(r.index["sigma_row"]),
             rays=RAYS,
             runrows=r.runrows,
+            quantum=r.quantum,
             step_eps=r.opts.step_size,
         )
         bd = r.basis_dim
@@ -366,7 +413,7 @@ class TileOptimizer:
             scratch_shapes=[
                 pltpu.VMEM((2, fields, r.runrows), jnp.float32),
                 pltpu.VMEM((fields, r.runrows), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((3, max(2, r.runrows // r.quantum))),
             ],
             input_output_aliases={13: 0},
             interpret=r.interpret,

@@ -198,7 +198,7 @@ _SEG_II, _SEG_JJ = np.triu_indices(8, k=1)  # all 28 point pairs
 
 def _phase1(
     csr, base, margin, o4, d4, span_lo, span_hi, any_hit, grid_c, fine_c2,
-    w1cap, rcap, runrows, ccap,
+    w1cap, rcap, quantum, ccap,
 ):
     """One tile's candidate row ranges, front-to-back slab order.
 
@@ -328,52 +328,55 @@ def _phase1(
     runs_len = jnp.where(ok, flat_len[idx], 0)
     rev = (jnp.sign(jnp.sum(dp[:, 2])) < 0).astype(jnp.int32)
     runs_start, runs_len, n_merged = _merge_runs(
-        runs_start, runs_len, jnp.minimum(n_total, rcap), rev, runrows, rcap
+        runs_start, runs_len, jnp.minimum(n_total, rcap), rev, quantum, rcap
     )
-    chunk_c0, chunk_lo, chunk_hi, n_chunks = _expand_chunks(
-        runs_start, runs_len, n_merged, rev, runrows, ccap
+    piece_c0, piece_lo, piece_hi, n_pieces = _expand_pieces(
+        runs_start, runs_len, n_merged, rev, quantum, ccap
     )
     return (
-        chunk_c0,
-        chunk_lo,
-        chunk_hi,
-        n_chunks,
+        piece_c0,
+        piece_lo,
+        piece_hi,
+        n_pieces,
         jnp.minimum(n_total, jnp.int32(2**30)),
         w1_over,
     )
 
 
-def _expand_chunks(runs_start, runs_len, n, rev, runrows, ccap):
-    """Flatten merged runs into per-DMA-chunk descriptors, travel order.
+def _expand_pieces(runs_start, runs_len, n, rev, quantum, ccap):
+    """Flatten merged runs into quantum-aligned DMA piece descriptors.
 
     Moving the window walk out of the kernel lets phase 2 run a deep
-    ring-buffer DMA pipeline over a flat list (the kernel was latency-bound:
-    per-chunk compute is ~0.5 us while a 2-deep double buffer leaves the
-    HBM copy latency exposed) and drops the per-iteration scalar chain
-    (next-run bookkeeping) entirely. Each chunk descriptor is
-    (c0: aligned column window start, lo/hi: the owning run's row interval;
-    live rows = window ∩ [lo, hi))."""
+    ring-buffer DMA pipeline over a flat list (no per-iteration scalar
+    next-run bookkeeping). Pieces are `quantum`-column blocks (quantum <=
+    runrows); the kernel packs runrows/quantum consecutive pieces into one
+    dense VMEM chunk via that many sub-DMAs, so short runs from different
+    (slab, strip) cells share one [RAYS, runrows] compute pass instead of
+    each wasting a mostly-dead 128-column window (measured 1.7x column
+    quant waste at the bench scale). Each descriptor is (c0: aligned
+    column block start, lo/hi: the owning run's row interval; live rows =
+    block ∩ [lo, hi))."""
     s = runs_start
     l = runs_len
-    first = (s // runrows) * runrows
-    last = ((s + jnp.maximum(l, 1) - 1) // runrows) * runrows
-    nck = jnp.where(l > 0, (last - first) // runrows + 1, 0)
+    first = (s // quantum) * quantum
+    last = ((s + jnp.maximum(l, 1) - 1) // quantum) * quantum
+    nck = jnp.where(l > 0, (last - first) // quantum + 1, 0)
     cum = jnp.cumsum(nck)
-    n_chunks = jnp.where(n > 0, cum[-1], 0)
+    n_pieces = jnp.where(n > 0, cum[-1], 0)
     slots = jnp.arange(ccap, dtype=jnp.int32)
     ri = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
     ri = jnp.clip(ri, 0, s.shape[0] - 1)
     prev = jnp.where(ri > 0, cum[jnp.maximum(ri - 1, 0)], 0)
     w = slots - prev
-    c0 = jnp.where(rev == 1, last[ri] - w * runrows, first[ri] + w * runrows)
-    ok = slots < jnp.minimum(n_chunks, ccap)
-    chunk_c0 = jnp.where(ok, c0, 0)
-    chunk_lo = jnp.where(ok, s[ri], 0)
-    chunk_hi = jnp.where(ok, s[ri] + l[ri], 0)
-    return chunk_c0, chunk_lo, chunk_hi, jnp.minimum(n_chunks, jnp.int32(2**30))
+    c0 = jnp.where(rev == 1, last[ri] - w * quantum, first[ri] + w * quantum)
+    ok = slots < jnp.minimum(n_pieces, ccap)
+    piece_c0 = jnp.where(ok, c0, 0)
+    piece_lo = jnp.where(ok, s[ri], 0)
+    piece_hi = jnp.where(ok, s[ri] + l[ri], 0)
+    return piece_c0, piece_lo, piece_hi, jnp.minimum(n_pieces, jnp.int32(2**30))
 
 
-def _merge_runs(runs_start, runs_len, n, rev, runrows, rcap):
+def _merge_runs(runs_start, runs_len, n, rev, quantum, rcap):
     """Fuse emission-consecutive runs whose padded DMA windows overlap/abut.
 
     Ranges average well under a DMA window (measured ~1.7x column quant
@@ -395,7 +398,7 @@ def _merge_runs(runs_start, runs_len, n, rev, runrows, rcap):
     valid = slots < n
 
     def align(v):
-        return (v // runrows) * runrows
+        return (v // quantum) * quantum
 
     ps = jnp.concatenate([s[:1], s[:-1]])
     pe = jnp.concatenate([e[:1], e[:-1]])
@@ -406,8 +409,8 @@ def _merge_runs(runs_start, runs_len, n, rev, runrows, rcap):
     # window reaches cur's highest.
     win_ok = jnp.where(
         rev == 1,
-        align(ps) <= align(e - 1) + runrows,
-        align(s) <= align(pe - 1) + runrows,
+        align(ps) <= align(e - 1) + quantum,
+        align(s) <= align(pe - 1) + quantum,
     )
     merge_prev = valid & dir_ok & win_ok
     merge_prev = merge_prev.at[0].set(False)
@@ -436,10 +439,10 @@ def _merge_runs(runs_start, runs_len, n, rev, runrows, rcap):
 def _tile_kernel(
     # per-tile SMEM scalars / lists (dummy middle dim: Mosaic requires the
     # last two block dims to be 8/128-divisible OR equal the array dims)
-    meta_ref,  # (1, 1, 4) i32: [n_chunks, 0, 0, 0]
-    chunk_c0_ref,  # (1, 1, ccap) i32 — aligned column window starts
-    chunk_lo_ref,  # (1, 1, ccap) i32 — owning run's row interval
-    chunk_hi_ref,  # (1, 1, ccap) i32
+    meta_ref,  # (1, 1, 4) i32: [n_pieces, 0, 0, 0]
+    piece_c0_ref,  # (1, 1, ccap) i32 — quantum-aligned column block starts
+    piece_lo_ref,  # (1, 1, ccap) i32 — owning run's row interval
+    piece_hi_ref,  # (1, 1, ccap) i32
     # per-tile VMEM ray blocks, ray-major [RAYS, c]
     o_ref,  # (1, RAYS, 4): origin xyz + pad
     invd_ref,  # (1, RAYS, 4)
@@ -450,7 +453,7 @@ def _tile_kernel(
     soa_ref,  # full field-major soa [fields, 3*npad], ANY/HBM
     out_ref,  # (1, RAYS, 8): rgb(nc) + light + pad
     buf,  # VMEM (NBUF, fields, runrows)
-    sem,  # DMA((NBUF,))
+    sem,  # DMA((NBUF, G))
     *,
     fmt,
     basis_dim,
@@ -458,25 +461,52 @@ def _tile_kernel(
     sigma_row,
     rays,
     runrows,
+    quantum,
     step_eps,
     stop_thresh,
     od_cap,
     use_bf16,
     nbuf,
 ):
-    n_chunks = meta_ref[0, 0, 0]
+    n_pieces = meta_ref[0, 0, 0]
+    G = runrows // quantum  # pieces packed per dense compute chunk
+    n_chunks = (n_pieces + G - 1) // G
     basis = basis_ref[0]  # [RAYS, bd]
     dscale = aux_ref[0, :, 0:1]  # [RAYS, 1]
     tmin = aux_ref[0, :, 1:2]
     tmax = aux_ref[0, :, 2:3]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, runrows), 1)
+    sublane = lane % quantum  # offset within each packed piece
 
-    def chunk_dma(t, slot):
-        c0 = pl.multiple_of(chunk_c0_ref[0, 0, t], runrows)
+    def piece_dma(p, slot, g):
+        c0 = pl.multiple_of(piece_c0_ref[0, 0, p], quantum)
         return pltpu.make_async_copy(
-            soa_ref.at[:, pl.ds(c0, runrows)], buf.at[slot], sem.at[slot]
+            soa_ref.at[:, pl.ds(c0, quantum)],
+            buf.at[slot, :, pl.ds(g * quantum, quantum)],
+            sem.at[slot, g],
         )
+
+    def chunk_start(t, slot):
+        """Start the up-to-G piece copies that fill chunk t's buffer."""
+        for g in range(G):
+
+            @pl.when(t * G + g < n_pieces)
+            def _(g=g):
+                piece_dma(t * G + g, slot, g).start()
+
+    def chunk_wait(t, slot):
+        for g in range(G):
+
+            @pl.when(t * G + g < n_pieces)
+            def _(g=g):
+                piece_dma(t * G + g, slot, g).wait()
+
+    # Zero the ring buffers once per tile: a PARTIAL last chunk leaves some
+    # piece columns unwritten, and uninitialized VMEM could be NaN — which
+    # would poison acc through 0 * NaN in the masked compositing products.
+    # Stale-but-finite leftovers are harmless (hit/live masks zero them).
+    buf[...] = jnp.zeros(buf.shape, jnp.float32)
 
     # Ring-buffer pipeline, nbuf-1 chunks in flight: per-chunk compute is
     # far smaller than the HBM copy latency, so a 2-deep double buffer left
@@ -485,7 +515,7 @@ def _tile_kernel(
 
         @pl.when(p < n_chunks)
         def _(p=p):
-            chunk_dma(p, p).start()
+            chunk_start(p, p)
 
     # Hoisted per-tile constants: o*invd puts the slab test in FMA form
     # (t = box*invd - oi), and the ones column turns [RAYS, R] -> [RAYS, 1]
@@ -493,6 +523,24 @@ def _tile_kernel(
     # multi-pass; the MXU pipe is otherwise idle between the two big dots).
     oi = o_ref[0, :, :] * invd_ref[0, :, :]  # [RAYS, 4]
     ones_col = jnp.ones((runrows, 1), jnp.float32)
+
+    def lane_meta(t):
+        """Per-lane rowid/live from the chunk's G piece descriptors."""
+        rowid = jnp.zeros((1, runrows), jnp.int32)
+        lo_v = jnp.zeros((1, runrows), jnp.int32)
+        hi_v = jnp.zeros((1, runrows), jnp.int32)
+        for g in range(G):
+            in_g = (lane >= g * quantum) & (lane < (g + 1) * quantum)
+            p = jnp.minimum(t * G + g, n_pieces - 1)
+            rowid = jnp.where(in_g, piece_c0_ref[0, 0, p] + sublane, rowid)
+            valid_p = t * G + g < n_pieces
+            lo_v = jnp.where(
+                in_g & valid_p, piece_lo_ref[0, 0, p], lo_v
+            )
+            hi_v = jnp.where(
+                in_g & valid_p, piece_hi_ref[0, 0, p], hi_v
+            )
+        return rowid, lo_v, hi_v
 
     def cond(state):
         t, n_started, cum, acc = state
@@ -508,15 +556,13 @@ def _tile_kernel(
 
         @pl.when(do_start)
         def _():
-            chunk_dma(n_started, n_started % nbuf).start()
+            chunk_start(n_started, n_started % nbuf)
 
         n_started2 = jnp.where(do_start, n_started + 1, n_started)
-        start = chunk_lo_ref[0, 0, t]
-        end = chunk_hi_ref[0, 0, t]
-        chunk_dma(t, t % nbuf).wait()
+        chunk_wait(t, t % nbuf)
         f = buf[t % nbuf]  # [fields, runrows]
-        rowid = chunk_c0_ref[0, 0, t] + lane  # [1, runrows]
-        live = (rowid >= start) & (rowid < end)
+        rowid, lo_v, hi_v = lane_meta(t)
+        live = (rowid >= lo_v) & (rowid < hi_v)
 
         # Ray/box slab test, [RAYS, runrows] per axis (FMA form).
         tn = None
@@ -651,6 +697,7 @@ class TileRenderer:
         w1cap=None,
         ccap=None,
         nbuf=4,
+        quantum=32,
         interpret=None,
         output="f32",
         tile=TILE,
@@ -669,8 +716,11 @@ class TileRenderer:
         self.fine_c2 = self.index["fine_c2"]
         self.rcap = rcap
         self.w1cap = w1cap
-        self.ccap = ccap or 2 * rcap
+        # Piece cap: pieces ~ rows/quantum + one per run, so scale the
+        # default with the packing factor (sticky growth handles outliers).
+        self.ccap = ccap or rcap * max(2, RUNROWS // quantum)
         self.nbuf = nbuf
+        self.quantum = quantum
         self.fmt = tree.data_format.format
         self.basis_dim = tree.data_format.basis_dim
         self.n_channels = (self.index["sigma_row"] - 6) // self.basis_dim
@@ -708,6 +758,7 @@ class TileRenderer:
                 sigma_row=int(self.index["sigma_row"]),
                 rays=self.rays,
                 runrows=self.runrows,
+                quantum=self.quantum,
                 use_bf16=self.use_bf16,
                 step_eps=self.opts.step_size,
                 stop_thresh=self.opts.stop_thresh,
@@ -758,7 +809,9 @@ class TileRenderer:
                 out_shape=jax.ShapeDtypeStruct((n_tiles, RAYS, 8), jnp.float32),
                 scratch_shapes=[
                     pltpu.VMEM((self.nbuf, fields, self.runrows), jnp.float32),
-                    pltpu.SemaphoreType.DMA((self.nbuf,)),
+                    pltpu.SemaphoreType.DMA(
+                        (self.nbuf, self.runrows // self.quantum)
+                    ),
                 ],
                 interpret=self.interpret,
             )
@@ -787,7 +840,7 @@ class TileRenderer:
                 fine_c2=self.fine_c2,
                 w1cap=w1cap,
                 rcap=rcap,
-                runrows=self.runrows,
+                quantum=self.quantum,
                 ccap=ccap,
             ),
             in_axes=(None, None, None, 0, 0, 0, 0, 0),
