@@ -86,6 +86,8 @@ def main():
     grid_c = int(os.environ.get("BO_GRID_C", 64))
     tile = int(os.environ.get("BO_TILE", 16))
     runrows = int(os.environ.get("BO_RUNROWS", 128))
+    quantum = int(os.environ.get("BO_QUANTUM", 32))
+    nbuf = int(os.environ.get("BO_NBUF", 4))
 
     from plenoctree_tpu.octree.renderer import VolumeRenderer
     from plenoctree_tpu.octree.tile_render import TileRenderer
@@ -117,6 +119,8 @@ def main():
             output="u8",
             tile=tile,
             runrows=runrows,
+            quantum=quantum,
+            nbuf=nbuf,
         )
         print(
             f"tile renderer: C={grid_c} instances={rend.index['n_instances']}"
