@@ -42,10 +42,13 @@ from plenoctree_tpu.octree import tile_render as tr
 
 
 def _tile_bwd_kernel(
-    meta_ref,  # (1, 1, 4) SMEM: [n_chunks, 0, 0, 0]
+    meta_ref,  # (1, 1, 4) SMEM: [n_pieces, 0, 0, 0]
     chunk_c0_ref,  # (1, 1, ccap) SMEM
     chunk_lo_ref,  # (1, 1, ccap) SMEM
     chunk_hi_ref,  # (1, 1, ccap) SMEM
+    chunk_mask_ref,  # (1, 1, ccap) SMEM — quad-group masks (unused here:
+    # the backward replays all groups; skipped (group, chunk) pairs have
+    # no hits, so their grads/prefixes are zero either way)
     o_ref,  # (1, RAYS, 4)
     invd_ref,  # (1, RAYS, 4)
     dn_ref,  # (1, RAYS, 4)  (unused here; kept for arg parity with fwd)
@@ -397,6 +400,7 @@ class TileOptimizer:
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_c0 (1,1,ccap)
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_lo
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_hi
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_mask
                 vspec,  # o
                 vspec,  # invd
                 vspec,  # dn
@@ -415,7 +419,7 @@ class TileOptimizer:
                 pltpu.VMEM((fields, r.runrows), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, max(2, r.runrows // r.quantum))),
             ],
-            input_output_aliases={13: 0},
+            input_output_aliases={14: 0},
             interpret=r.interpret,
         )
 
@@ -426,7 +430,7 @@ class TileOptimizer:
                 )
                 args = [sl(a) for a in p2_args]
                 gsoa = call(
-                    *args[:10], soa, sl(out), sl(g), gsoa
+                    *args[:11], soa, sl(out), sl(g), gsoa
                 )
                 return gsoa, None
             gsoa, _ = jax.lax.scan(body, gz, jnp.arange(n_tiles))
@@ -501,11 +505,7 @@ class TileOptimizer:
             acc = out[:, :, :nc]
             light = out[:, :, nc]
             img = acc + light[..., None] * r.opts.background_brightness
-            img = (
-                img.reshape(hp // TILE, wp // TILE, TILE, TILE, nc)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(hp, wp, nc)
-            )[:height, :width]
+            img = tr._untile(img, hp, wp, TILE)[:height, :width]
             # Reference clamps the render before the MSE
             # (octree/optimization.py:218-219); jnp.clip's AD zeroes
             # out-of-range pixel gradients the same way torch.clamp does.
@@ -525,11 +525,7 @@ class TileOptimizer:
             acc = out[:, :, :nc]
             light = out[:, :, nc]
             img = acc + light[..., None] * r.opts.background_brightness
-            img = (
-                img.reshape(hp // TILE, wp // TILE, TILE, TILE, nc)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(hp, wp, nc)
-            )[:height, :width]
+            img = tr._untile(img, hp, wp, TILE)[:height, :width]
             return img, jnp.max(n_total), jnp.max(n_chunks), jnp.max(w1_over)
 
         fns = (vg, jax.jit(render))

@@ -196,22 +196,61 @@ def build_tile_index(
 _SEG_II, _SEG_JJ = np.triu_indices(8, k=1)  # all 28 point pairs
 
 
+def _tilize(x, hp, wp, tile):
+    """[hp, wp, c] -> [T, RAYS, c] in QUAD-MAJOR ray order: each tile's
+    rays are 4 contiguous (tile/2)^2 blocks (its 2x2 pixel quads), so the
+    kernel's per-quad-group compute slices contiguous sublane ranges."""
+    q = tile // 2
+    c = x.shape[-1]
+    return (
+        x.reshape(hp // tile, 2, q, wp // tile, 2, q, c)
+        .transpose(0, 3, 1, 4, 2, 5, 6)
+        .reshape(-1, tile * tile, c)
+    )
+
+
+def _untile(tiles, hp, wp, tile):
+    """Inverse of _tilize for kernel outputs [T, RAYS, c] -> [hp, wp, c]."""
+    q = tile // 2
+    c = tiles.shape[-1]
+    return (
+        tiles.reshape(hp // tile, wp // tile, 2, 2, q, q, c)
+        .transpose(0, 2, 4, 1, 3, 5, 6)
+        .reshape(hp, wp, c)
+    )
+
+
+def _tile_corner_idx(tile):
+    """Ray indices of the tile's 4 corner pixels in quad-major order."""
+    q = tile // 2
+    return np.array(
+        [0, q * q + q - 1, 2 * q * q + (q - 1) * q, tile * tile - 1], np.int32
+    )
+
+
+_GROUP_CORNER_OFF = lambda q: np.array(  # noqa: E731
+    [0, q - 1, (q - 1) * q, q * q - 1], np.int32
+)
+
+
 def _phase1(
-    csr, base, margin, o4, d4, span_lo, span_hi, any_hit, grid_c, fine_c2,
-    w1cap, rcap, quantum, ccap,
+    csr, base, margin, o4, d4, gplanes, span_lo, span_hi, any_hit, grid_c,
+    fine_c2, w1cap, rcap, quantum, ccap,
 ):
     """One tile's candidate row ranges, front-to-back slab order.
 
     o4/d4 [4, 3]: the tile's corner rays (tree space, unit dn).
+    gplanes [16, 3]: inward normals of the 4 quad-group frusta (4 planes
+    each, shared apex o4[0]) — used to stamp every range with a 4-bit
+    group-overlap mask so the kernel can skip quad-ray-groups per chunk.
     span_lo/span_hi: conservative t-span over the tile's FULL ray set;
     any_hit: whether any tile ray intersects the volume at all (exact
-    gate — off-box tiles emit zero ranges). Returns (runs_start [rcap],
-    runs_len [rcap], n_total, rev, w1_over) where rev flags that lateral-2
-    chunks should be consumed back-to-front and w1_over counts lateral-1
-    cells beyond the static window (0 = fully covered; >0 would silently
-    drop geometry, so the driver regrows w1cap and re-renders — ADVICE r2:
-    the sqrt(3) chord bound undersizes the window for cameras far outside
-    the volume).
+    gate — off-box tiles emit zero ranges). Returns (piece_c0, piece_lo,
+    piece_hi, piece_mask [ccap each], n_pieces, n_total, w1_over) where
+    w1_over counts lateral-1 cells beyond the static window (0 = fully
+    covered; >0 would silently drop geometry, so the driver regrows w1cap
+    and re-renders — ADVICE r2: the sqrt(3) chord bound undersizes the
+    window for cameras far outside the volume).
     """
     C = grid_c
     min_abs = jnp.min(jnp.abs(d4), axis=0)
@@ -314,8 +353,48 @@ def _phase1(
     r_end = csr[axis, cell_hi + 1] + base[axis]
     r_len = jnp.where(w1_ok, r_end - r_start, 0)
 
+    # 4-bit quad-group mask per range: p-vertex test of the range's cell
+    # box (permuted coords -> xyz via one-hot unpermute) against each quad
+    # frustum's 4 inward planes through the shared apex. Conservative:
+    # a cleared bit proves no ray of that 64-ray group can hit rows of
+    # this range, so the kernel skips that group's compute for the chunk.
+    # lat2 bounds: selected instances have center-bin in [v2_lo, v2_hi]
+    # and half-extent <= mh, so their boxes lie in [v2_lo/c2 - mh,
+    # (v2_hi+1)/c2 + mh]. lat1/dominant are exact (cell-clipped replicas).
+    box_lo_p = jnp.stack(
+        [
+            jnp.broadcast_to(plane_lo[:, None], w1c.shape),
+            w1c.astype(jnp.float32) / C,
+            v2_lo.astype(jnp.float32) / c2 - mh,
+        ],
+        axis=-1,
+    )  # [C, w1cap, 3] in (dominant, lat1, lat2) order
+    box_hi_p = jnp.stack(
+        [
+            jnp.broadcast_to(plane_hi[:, None], w1c.shape),
+            (w1c.astype(jnp.float32) + 1.0) / C,
+            (v2_hi.astype(jnp.float32) + 1.0) / c2 + mh,
+        ],
+        axis=-1,
+    )
+    unperm = (perm[None, :] == jnp.arange(3)[:, None]).astype(jnp.float32)
+    box_lo3 = jnp.einsum("xp,cwp->cwx", unperm, box_lo_p)
+    box_hi3 = jnp.einsum("xp,cwp->cwx", unperm, box_hi_p)
+    apex = o4[0]  # [3] (shared-origin pinhole tile)
+    nrm = gplanes.reshape(4, 4, 3)  # [group, plane, xyz]
+    xp = jnp.where(
+        nrm[None, None] > 0, box_hi3[:, :, None, None, :],
+        box_lo3[:, :, None, None, :],
+    )  # [C, w1cap, 4, 4, 3]
+    sd = jnp.sum(nrm[None, None] * (xp - apex), axis=-1)  # [C, w1cap, 4, 4]
+    gmask = jnp.all(sd >= -1e-6, axis=-1)  # [C, w1cap, 4]
+    r_mask = jnp.sum(
+        gmask.astype(jnp.int32) * (2 ** jnp.arange(4))[None, None, :], axis=-1
+    )
+
     flat_start = r_start.reshape(-1)
     flat_len = r_len.reshape(-1)
+    flat_mask = r_mask.reshape(-1)
     flat_valid = flat_len > 0
 
     # Order-preserving compaction via searchsorted on the valid-rank.
@@ -326,24 +405,27 @@ def _phase1(
     ok = slots < jnp.minimum(n_total, rcap)
     runs_start = jnp.where(ok, flat_start[idx], 0)
     runs_len = jnp.where(ok, flat_len[idx], 0)
+    runs_mask = jnp.where(ok, flat_mask[idx], 0)
     rev = (jnp.sign(jnp.sum(dp[:, 2])) < 0).astype(jnp.int32)
-    runs_start, runs_len, n_merged = _merge_runs(
-        runs_start, runs_len, jnp.minimum(n_total, rcap), rev, quantum, rcap
+    runs_start, runs_len, runs_mask, n_merged = _merge_runs(
+        runs_start, runs_len, runs_mask, jnp.minimum(n_total, rcap), rev,
+        quantum, rcap,
     )
-    piece_c0, piece_lo, piece_hi, n_pieces = _expand_pieces(
-        runs_start, runs_len, n_merged, rev, quantum, ccap
+    piece_c0, piece_lo, piece_hi, piece_mask, n_pieces = _expand_pieces(
+        runs_start, runs_len, runs_mask, n_merged, rev, quantum, ccap
     )
     return (
         piece_c0,
         piece_lo,
         piece_hi,
+        piece_mask,
         n_pieces,
         jnp.minimum(n_total, jnp.int32(2**30)),
         w1_over,
     )
 
 
-def _expand_pieces(runs_start, runs_len, n, rev, quantum, ccap):
+def _expand_pieces(runs_start, runs_len, runs_mask, n, rev, quantum, ccap):
     """Flatten merged runs into quantum-aligned DMA piece descriptors.
 
     Moving the window walk out of the kernel lets phase 2 run a deep
@@ -373,10 +455,17 @@ def _expand_pieces(runs_start, runs_len, n, rev, quantum, ccap):
     piece_c0 = jnp.where(ok, c0, 0)
     piece_lo = jnp.where(ok, s[ri], 0)
     piece_hi = jnp.where(ok, s[ri] + l[ri], 0)
-    return piece_c0, piece_lo, piece_hi, jnp.minimum(n_pieces, jnp.int32(2**30))
+    piece_mask = jnp.where(ok, runs_mask[ri], 0)
+    return (
+        piece_c0,
+        piece_lo,
+        piece_hi,
+        piece_mask,
+        jnp.minimum(n_pieces, jnp.int32(2**30)),
+    )
 
 
-def _merge_runs(runs_start, runs_len, n, rev, quantum, rcap):
+def _merge_runs(runs_start, runs_len, runs_mask, n, rev, quantum, rcap):
     """Fuse emission-consecutive runs whose padded DMA windows overlap/abut.
 
     Ranges average well under a DMA window (measured ~1.7x column quant
@@ -425,10 +514,21 @@ def _merge_runs(runs_start, runs_len, n, rev, quantum, rcap):
     new_e = jax.ops.segment_max(
         jnp.where(valid, e, -big), gid_safe, num_segments=rcap
     )
+    # Group mask = OR of member masks (bitwise OR over <=4 bits via
+    # per-bit segment_max).
+    new_mask = jnp.zeros(rcap, jnp.int32)
+    for b in range(4):
+        bit = jax.ops.segment_max(
+            jnp.where(valid, (runs_mask >> b) & 1, 0),
+            gid_safe,
+            num_segments=rcap,
+        )
+        new_mask = new_mask + bit * (2**b)
     gvalid = slots < n_merged
     new_s = jnp.where(gvalid, new_s, 0)
     new_len = jnp.where(gvalid, new_e - new_s, 0)
-    return new_s, new_len, n_merged
+    new_mask = jnp.where(gvalid, new_mask, 0)
+    return new_s, new_len, new_mask, n_merged
 
 
 # ---------------------------------------------------------------------------
@@ -443,7 +543,9 @@ def _tile_kernel(
     piece_c0_ref,  # (1, 1, ccap) i32 — quantum-aligned column block starts
     piece_lo_ref,  # (1, 1, ccap) i32 — owning run's row interval
     piece_hi_ref,  # (1, 1, ccap) i32
-    # per-tile VMEM ray blocks, ray-major [RAYS, c]
+    piece_mask_ref,  # (1, 1, ccap) i32 — 4-bit quad-group overlap mask
+    # per-tile VMEM ray blocks, ray-major [RAYS, c] (QUAD-MAJOR ray order:
+    # rays g*RAYS/4..(g+1)*RAYS/4 are the g-th (tile/2)^2-pixel quad)
     o_ref,  # (1, RAYS, 4): origin xyz + pad
     invd_ref,  # (1, RAYS, 4)
     dn_ref,  # (1, RAYS, 4): unit tree-space direction + pad
@@ -453,6 +555,7 @@ def _tile_kernel(
     soa_ref,  # full field-major soa [fields, 3*npad], ANY/HBM
     out_ref,  # (1, RAYS, 8): rgb(nc) + light + pad
     buf,  # VMEM (NBUF, fields, runrows)
+    state,  # VMEM (RAYS, 8): [cum, acc(nc), pad] — scratch, zeroed per tile
     sem,  # DMA((NBUF, G))
     *,
     fmt,
@@ -542,16 +645,22 @@ def _tile_kernel(
             )
         return rowid, lo_v, hi_v
 
-    def cond(state):
-        t, n_started, cum, acc = state
+    # Per-tile state lives in VMEM scratch (not the loop carry) so the
+    # per-quad-group compute can update only its 64-ray slice under
+    # pl.when. Scratch persists across grid steps — zero it every tile.
+    state[...] = jnp.zeros(state.shape, jnp.float32)
+    gsz = rays // 4
+    mm_dt = jnp.bfloat16 if use_bf16 else jnp.float32
+
+    def cond(carry):
+        t, n_started = carry
         return t < n_started
 
-    def body(state):
-        t, n_started, cum, acc = state
+    def body(carry):
+        t, n_started = carry
         # Early tile exit once every ray is saturated: stop starting new
-        # DMAs; the loop drains the <= nbuf-1 already in flight (their
-        # compute is masked off by `stop` being absorbed into n_started).
-        saturated = jnp.min(cum) > od_cap
+        # DMAs; the loop drains the <= nbuf-1 already in flight.
+        saturated = jnp.min(state[:, 0]) > od_cap
         do_start = (n_started < n_chunks) & ~saturated
 
         @pl.when(do_start)
@@ -564,31 +673,17 @@ def _tile_kernel(
         rowid, lo_v, hi_v = lane_meta(t)
         live = (rowid >= lo_v) & (rowid < hi_v)
 
-        # Ray/box slab test, [RAYS, runrows] per axis (FMA form).
-        tn = None
-        tf = None
-        for a in range(3):
-            t1 = f[a : a + 1, :] * invd_ref[0, :, a : a + 1] - oi[:, a : a + 1]
-            t2 = (
-                f[3 + a : 4 + a, :] * invd_ref[0, :, a : a + 1]
-                - oi[:, a : a + 1]
-            )
-            tn_a = jnp.minimum(t1, t2)
-            tf_a = jnp.maximum(t1, t2)
-            tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
-            tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
-        entry = jnp.maximum(tn, tmin)
-        # Clipped boxes are an exact spatial partition (build_tile_index):
-        # every replica a ray hits contributes exactly its own sub-segment,
-        # so no replica dedup is needed — this removes ~25 [RAYS, runrows]
-        # VPU ops (midpoint + cell-id reconstruction) from the hot loop.
-        hit = (tf > entry) & (entry <= tmax) & live
-        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)  # [1, runrows]
-        sdt = jnp.where(hit, sigma * (tf - entry + step_eps) * dscale, 0.0)
+        # OR of the chunk's piece masks: bit g set => quad-group g may hit
+        # some row of SOME piece (conservative frustum/box test, phase 1).
+        cmask = jnp.int32(0)
+        for g in range(G):
+            p = jnp.minimum(t * G + g, n_pieces - 1)
+            valid_p = t * G + g < n_pieces
+            cmask = cmask | jnp.where(valid_p, piece_mask_ref[0, 0, p], 0)
 
-        # Within-chunk occlusion order along the tile's mean direction: a
-        # [R, R] precedence-mask matmul (MXU) replaces per-ray sorts.
-        # B[j, i] = 1 iff row j is in front of row i.
+        # Shared per-chunk work: sigma row and the within-chunk occlusion
+        # precedence mask along the tile's mean direction (MXU).
+        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)  # [1, R]
         key = (
             0.5
             * (
@@ -610,64 +705,93 @@ def _tile_kernel(
         rid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
         before = (key_col < key) | ((key_col == key) & (rid < cid))
-        # bf16 inputs double MXU throughput; sdt values are O(sigma*dt)
-        # so the 2^-8 relative rounding keeps oracle parity well above the
-        # 40 dB bar (pinned by tests at both settings). Accumulation stays
-        # f32 via preferred_element_type.
-        mm_dt = jnp.bfloat16 if use_bf16 else jnp.float32
-        occ = cum + jax.lax.dot(
-            sdt.astype(mm_dt),
-            before.astype(mm_dt),
-            preferred_element_type=jnp.float32,
-        )  # [RAYS, runrows]
+        before_mm = before.astype(mm_dt)
 
-        light = jnp.exp(-occ)
-        alive = light > stop_thresh
-        contrib = jnp.where(alive, light * (1.0 - jnp.exp(-sdt)), 0.0)
+        for g in range(4):
+            sl = slice(g * gsz, (g + 1) * gsz)
 
-        # Per-channel decode: [RAYS, bd] x [bd, runrows] on the MXU, no
-        # transposes or lane-dim reshapes.
-        cols = []
-        basis_mm = basis.astype(mm_dt)
-        for c in range(n_channels):
-            coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
-            raw_c = jax.lax.dot(
-                basis_mm, coef_c.astype(mm_dt), preferred_element_type=jnp.float32
-            )
-            if fmt in ("SH", "SG"):
-                # sigmoid(x) = 0.5*tanh(x/2) + 0.5: one EUP transcendental
-                # + FMA instead of exp/add/divide.
-                rgb_c = 0.5 * jnp.tanh(0.5 * raw_c) + 0.5
-            else:
-                rgb_c = raw_c
-            cols.append(
-                acc[:, c : c + 1]
-                + jax.lax.dot(
-                    (contrib * rgb_c).astype(mm_dt),
+            @pl.when((cmask >> g) % 2 == 1)
+            def _(sl=sl):
+                # Ray/box slab test, [gsz, runrows] per axis (FMA form).
+                tn = None
+                tf = None
+                for a in range(3):
+                    t1 = (
+                        f[a : a + 1, :] * invd_ref[0, sl, a : a + 1]
+                        - oi[sl, a : a + 1]
+                    )
+                    t2 = (
+                        f[3 + a : 4 + a, :] * invd_ref[0, sl, a : a + 1]
+                        - oi[sl, a : a + 1]
+                    )
+                    tn_a = jnp.minimum(t1, t2)
+                    tf_a = jnp.maximum(t1, t2)
+                    tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
+                    tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
+                entry = jnp.maximum(tn, tmin[sl])
+                # Clipped boxes are an exact spatial partition
+                # (build_tile_index): no replica dedup needed.
+                hit = (tf > entry) & (entry <= tmax[sl]) & live
+                sdt = jnp.where(
+                    hit, sigma * (tf - entry + step_eps) * dscale[sl], 0.0
+                )
+                cum_g = state[sl, 0:1]
+                occ = cum_g + jax.lax.dot(
+                    sdt.astype(mm_dt),
+                    before_mm,
+                    preferred_element_type=jnp.float32,
+                )  # [gsz, runrows]
+                light = jnp.exp(-occ)
+                alive = light > stop_thresh
+                contrib = jnp.where(
+                    alive, light * (1.0 - jnp.exp(-sdt)), 0.0
+                )
+
+                # Per-channel decode on the MXU; compositing sums as
+                # dot(X, ones) (MXU) instead of cross-lane reduces.
+                basis_mm = basis[sl].astype(mm_dt)
+                for c in range(n_channels):
+                    coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
+                    raw_c = jax.lax.dot(
+                        basis_mm,
+                        coef_c.astype(mm_dt),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if fmt in ("SH", "SG"):
+                        # sigmoid(x) = 0.5*tanh(x/2)+0.5: one EUP
+                        # transcendental + FMA instead of exp/add/divide.
+                        rgb_c = 0.5 * jnp.tanh(0.5 * raw_c) + 0.5
+                    else:
+                        rgb_c = raw_c
+                    state[sl, 1 + c : 2 + c] = state[sl, 1 + c : 2 + c] + (
+                        jax.lax.dot(
+                            (contrib * rgb_c).astype(mm_dt),
+                            ones_col.astype(mm_dt),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                # Freeze opacity once a ray stops (march/svox parity): a
+                # stopped ray's remaining transmittance composites onto
+                # the background unchanged (ADVICE r2).
+                state[sl, 0:1] = cum_g + jax.lax.dot(
+                    jnp.where(alive, sdt, 0.0).astype(mm_dt),
                     ones_col.astype(mm_dt),
                     preferred_element_type=jnp.float32,
                 )
-            )
-        acc = jnp.concatenate(cols, axis=1)
-        # Freeze opacity once a ray stops (march/svox parity): a stopped
-        # ray's remaining transmittance composites onto the background
-        # unchanged rather than continuing to decay (ADVICE r2).
-        cum = cum + jax.lax.dot(
-            jnp.where(alive, sdt, 0.0).astype(mm_dt),
-            ones_col.astype(mm_dt),
-            preferred_element_type=jnp.float32,
-        )
-        return t + 1, n_started2, cum, acc
 
-    init = (
-        jnp.int32(0),
-        jnp.minimum(jnp.int32(nbuf - 1), n_chunks),
-        jnp.zeros((rays, 1), jnp.float32),
-        jnp.zeros((rays, n_channels), jnp.float32),
-    )
-    _, _, cum, acc = jax.lax.while_loop(cond, body, init)
+        return t + 1, n_started2
+
+    init = (jnp.int32(0), jnp.minimum(jnp.int32(nbuf - 1), n_chunks))
+    jax.lax.while_loop(cond, body, init)
     pad = jnp.zeros((rays, 8 - n_channels - 1), jnp.float32)
-    out_ref[0] = jnp.concatenate([acc, jnp.exp(-cum), pad], axis=1)
+    out_ref[0] = jnp.concatenate(
+        [
+            state[:, 1 : 1 + n_channels],
+            jnp.exp(-state[:, 0:1]),
+            pad,
+        ],
+        axis=1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -784,6 +908,9 @@ class TileRenderer:
                         (1, 1, ccap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
                     ),
                     pl.BlockSpec(
+                        (1, 1, ccap), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+                    ),
+                    pl.BlockSpec(
                         (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                     ),
                     pl.BlockSpec(
@@ -809,6 +936,7 @@ class TileRenderer:
                 out_shape=jax.ShapeDtypeStruct((n_tiles, RAYS, 8), jnp.float32),
                 scratch_shapes=[
                     pltpu.VMEM((self.nbuf, fields, self.runrows), jnp.float32),
+                    pltpu.VMEM((RAYS, 8), jnp.float32),
                     pltpu.SemaphoreType.DMA(
                         (self.nbuf, self.runrows // self.quantum)
                     ),
@@ -832,7 +960,11 @@ class TileRenderer:
         hp = -(-height // TILE) * TILE
         wp = -(-width // TILE) * TILE
         n_tiles = (hp // TILE) * (wp // TILE)
-        corners = np.array([0, TILE - 1, TILE * (TILE - 1), RAYS - 1], np.int32)
+        corners = _tile_corner_idx(TILE)
+        Q = TILE // 2
+        gc_idx = (
+            np.arange(4)[:, None] * Q * Q + _GROUP_CORNER_OFF(Q)[None, :]
+        ).reshape(-1)  # [16] quad-group corner ray indices
         p1 = jax.vmap(
             functools.partial(
                 _phase1,
@@ -843,15 +975,11 @@ class TileRenderer:
                 quantum=self.quantum,
                 ccap=ccap,
             ),
-            in_axes=(None, None, None, 0, 0, 0, 0, 0),
+            in_axes=(None, None, None, 0, 0, 0, 0, 0, 0),
         )
 
         def tilize(x):
-            return (
-                x.reshape(hp // TILE, TILE, wp // TILE, TILE, 3)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(-1, RAYS, 3)
-            )
+            return _tilize(x, hp, wp, TILE)
 
         def tile_inputs(c2w, csr, base, extra_data):
             # Pinhole rays at the TRUE size (principal point at the true
@@ -887,9 +1015,36 @@ class TileRenderer:
             any_hit = jnp.any(ray_ok, axis=1)
             span_lo = jnp.min(jnp.where(ray_ok, tmin, jnp.inf), axis=1)
             span_hi = jnp.max(jnp.where(ray_ok, tmax, -jnp.inf), axis=1)
-            chunk_c0, chunk_lo, chunk_hi, n_chunks, n_total, w1_over = p1(
+
+            # Quad-group frustum planes: each 2x2 pixel quad's 4 corner
+            # rays span its sub-frustum (clamped border pixels are still
+            # the extreme rays — clamping is monotone). Side planes
+            # contain the shared apex; inward orientation via the quad
+            # mean direction. Conservative by construction: a hittable
+            # box is inside every half-space, so a cleared mask bit can
+            # only be a true miss.
+            gdirs = dn[:, gc_idx].reshape(n_tiles, 4, 4, 3)
+            A, B, Cq, D = (gdirs[:, :, k] for k in range(4))
+            nrm = jnp.stack(
+                [
+                    jnp.cross(A, B),
+                    jnp.cross(B, D),
+                    jnp.cross(D, Cq),
+                    jnp.cross(Cq, A),
+                ],
+                axis=2,
+            )  # [T, 4 groups, 4 planes, 3]
+            dmean_g = jnp.mean(gdirs, axis=2)
+            sgn_n = jnp.sign(
+                jnp.sum(nrm * dmean_g[:, :, None, :], axis=-1, keepdims=True)
+            )
+            nrm = nrm * jnp.where(sgn_n == 0, 1.0, sgn_n)
+            nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
+            gplanes = nrm.reshape(n_tiles, 16, 3)
+
+            chunk_c0, chunk_lo, chunk_hi, chunk_mask, n_chunks, n_total, w1_over = p1(
                 csr, base, self.index["margin"], o[:, corners], dn[:, corners],
-                span_lo, span_hi, any_hit,
+                gplanes, span_lo, span_hi, any_hit,
             )
             # Kernel iterates the chunk list; saturation detection keys on
             # the pre-merge emission count (rcap) and the pre-clip chunk
@@ -910,6 +1065,7 @@ class TileRenderer:
                 chunk_c0[:, None, :],
                 chunk_lo[:, None, :],
                 chunk_hi[:, None, :],
+                chunk_mask[:, None, :],
                 jnp.concatenate([o, pad1], axis=-1),
                 jnp.concatenate([invd, pad1], axis=-1),
                 jnp.concatenate([dn, pad1], axis=-1),
@@ -961,11 +1117,7 @@ class TileRenderer:
             rgb = out[:, :, :nc]
             light = out[:, :, nc]
             img = rgb + light[..., None] * self.opts.background_brightness
-            img = (
-                img.reshape(hp // TILE, wp // TILE, TILE, TILE, nc)
-                .transpose(0, 2, 1, 3, 4)
-                .reshape(hp, wp, nc)
-            )[:height, :width]
+            img = _untile(img, hp, wp, TILE)[:height, :width]
             n_max = jnp.max(n_total)
             nc_max = jnp.max(n_chunks)
             w1_max = jnp.max(w1_over).astype(jnp.int32)

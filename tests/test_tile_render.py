@@ -121,12 +121,14 @@ class TestMergeRuns:
                 starts, lens = starts[::-1].copy(), lens[::-1].copy()
             s = np.zeros(rcap, np.int32)
             l = np.zeros(rcap, np.int32)
+            m = np.zeros(rcap, np.int32)
             s[:n], l[:n] = starts, lens
-            ms, ml, mn = _merge_runs(
-                jnp.asarray(s), jnp.asarray(l), jnp.int32(n),
+            m[:n] = rng.integers(1, 16, size=n)
+            ms, ml, mm, mn = _merge_runs(
+                jnp.asarray(s), jnp.asarray(l), jnp.asarray(m), jnp.int32(n),
                 jnp.int32(rev), runrows, rcap,
             )
-            ms, ml, mn = np.asarray(ms), np.asarray(ml), int(mn)
+            ms, ml, mm, mn = np.asarray(ms), np.asarray(ml), np.asarray(mm), int(mn)
             assert mn <= n
             # Every original row is inside some merged run.
             orig = set()
@@ -147,6 +149,12 @@ class TestMergeRuns:
                     assert me[i] <= ms[i - 1]
                 else:
                     assert ms[i] >= me[i - 1]
+            # Group masks: unions preserved, no merged run loses all bits.
+            if mn:
+                assert (mm[:mn] > 0).all()
+                assert np.bitwise_or.reduce(mm[:mn]) == np.bitwise_or.reduce(
+                    m[:n]
+                )
 
 
 class TestTileVsOracle:
