@@ -61,8 +61,10 @@ def _tile_bwd_kernel(
     gsoa_in_ref,  # [fields, 3*npad] ANY — zero-init grad buffer (aliased)
     gsoa_ref,  # [fields, 3*npad] ANY — output alias of gsoa_in
     buf,  # VMEM (2, fields, runrows)
-    gtmp,  # VMEM (fields, runrows)
-    sem,  # DMA((4,))
+    state,  # VMEM (RAYS, 8): [cum, pref, pad] — scratch, zeroed per tile
+    gacc,  # VMEM (fields, runrows): chunk-local grad accumulator
+    gtmp,  # VMEM (fields, runrows): RMW staging
+    sem,  # DMA((3, G))
     *,
     fmt,
     basis_dim,
@@ -128,18 +130,21 @@ def _tile_bwd_kernel(
         return rowid, lo_v, hi_v
 
     buf[...] = jnp.zeros(buf.shape, jnp.float32)
+    # Per-ray running state (col 0 = cum optical depth, col 1 = prefix of
+    # e = sum_c g_c*rgb_c*contrib) lives in VMEM scratch so quad-group
+    # compute can be skipped under pl.when (mirrors the forward kernel).
+    state[...] = jnp.zeros(state.shape, jnp.float32)
+    gsz = rays // 4
+    ones_col = jnp.ones((runrows, 1), jnp.float32)
 
     @pl.when(n_chunks > 0)
     def _():
         chunk_start(0, 0)
 
-    def cond(state):
-        t, cum, pref = state
-        return t < n_chunks
+    def cond(carry):
+        return carry < n_chunks
 
-    def body(state):
-        t, cum, pref = state
-
+    def body(t):
         @pl.when(t + 1 < n_chunks)
         def _():
             chunk_start(t + 1, (t + 1) % 2)
@@ -149,24 +154,15 @@ def _tile_bwd_kernel(
         rowid, lo_v, hi_v = lane_meta(t)
         live = (rowid >= lo_v) & (rowid < hi_v)
 
-        # --- forward replay (identical math to _tile_kernel) -------------
-        tn = None
-        tf = None
-        for a in range(3):
-            t1 = (f[a : a + 1, :] - o_ref[0, :, a : a + 1]) * invd_ref[0, :, a : a + 1]
-            t2 = (f[3 + a : 4 + a, :] - o_ref[0, :, a : a + 1]) * invd_ref[
-                0, :, a : a + 1
-            ]
-            tn_a = jnp.minimum(t1, t2)
-            tf_a = jnp.maximum(t1, t2)
-            tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
-            tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
-        entry = jnp.maximum(tn, tmin)
-        hit = (tf > entry) & (entry <= tmax) & live
-        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)
-        dtv = jnp.where(hit, (tf - entry + step_eps) * dscale, 0.0)  # [RAYS, R]
-        sdt = sigma * dtv
+        cmask = jnp.int32(0)
+        for g in range(G):
+            p = jnp.minimum(t * G + g, n_pieces - 1)
+            valid_p = t * G + g < n_pieces
+            cmask = cmask | jnp.where(valid_p, chunk_mask_ref[0, 0, p], 0)
 
+        # --- shared per-chunk work (identical math to _tile_kernel) ------
+        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)
+        sig_gate = (sigma > 0.0).astype(jnp.float32)
         key = (
             0.5
             * (
@@ -190,57 +186,108 @@ def _tile_bwd_kernel(
         before = ((key_col < key) | ((key_col == key) & (rid < cid))).astype(
             jnp.float32
         )
-        occ = cum + jax.lax.dot(sdt, before, preferred_element_type=jnp.float32)
-        light = jnp.exp(-occ)
-        esdt = jnp.exp(-sdt)
-        contrib = light * (1.0 - esdt)
 
-        rgbs = []
-        for c in range(nc):
-            coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
-            raw_c = jax.lax.dot(basis, coef_c, preferred_element_type=jnp.float32)
-            rgbs.append(jax.nn.sigmoid(raw_c) if fmt in ("SH", "SG") else raw_c)
+        gacc[...] = jnp.zeros(gacc.shape, jnp.float32)
 
-        # --- adjoint ------------------------------------------------------
-        e = None  # sum_c g_c * rgb_c * contrib
-        gsum = None  # sum_c g_c * rgb_c
-        for c in range(nc):
-            gc = gout[:, c : c + 1]
-            term = gc * rgbs[c]
-            gsum = term if gsum is None else gsum + term
-        e = gsum * contrib
-        p_before = pref + jax.lax.dot(e, before, preferred_element_type=jnp.float32)
-        suffix = t_all - p_before - e
-        dsdt = jnp.where(hit, gsum * light * esdt - suffix, 0.0)
+        for g in range(4):
+            sl = slice(g * gsz, (g + 1) * gsz)
 
-        # sigma grad (relu-gated), summed over rays -> [1, R]
-        dsig = jnp.sum(dsdt * dtv, axis=0, keepdims=True) * (sigma > 0.0)
+            @pl.when((cmask >> g) % 2 == 1)
+            def _(sl=sl):
+                # Forward replay for this quad group, [gsz, R].
+                tn = None
+                tf = None
+                for a in range(3):
+                    t1 = (f[a : a + 1, :] - o_ref[0, sl, a : a + 1]) * invd_ref[
+                        0, sl, a : a + 1
+                    ]
+                    t2 = (
+                        f[3 + a : 4 + a, :] - o_ref[0, sl, a : a + 1]
+                    ) * invd_ref[0, sl, a : a + 1]
+                    tn_a = jnp.minimum(t1, t2)
+                    tf_a = jnp.maximum(t1, t2)
+                    tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
+                    tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
+                entry = jnp.maximum(tn, tmin[sl])
+                hit = (tf > entry) & (entry <= tmax[sl]) & live
+                dtv = jnp.where(
+                    hit, (tf - entry + step_eps) * dscale[sl], 0.0
+                )
+                sdt = sigma * dtv
+                occ = state[sl, 0:1] + jax.lax.dot(
+                    sdt, before, preferred_element_type=jnp.float32
+                )
+                light = jnp.exp(-occ)
+                esdt = jnp.exp(-sdt)
+                contrib = light * (1.0 - esdt)
 
-        # Chunk-local grads assembled as one [fields, R] value (whole-buffer
-        # write keeps Mosaic's sublane tiling happy), then RMW-accumulated
-        # into the HBM grad buffer — the grid is sequential, so this is
-        # race-free even when adjacent runs share a 128-column window.
-        gparts = [jnp.zeros((6, runrows), jnp.float32)]
-        for c in range(nc):
-            gc = gout[:, c : c + 1]
-            if fmt in ("SH", "SG"):
-                draw_c = gc * contrib * rgbs[c] * (1.0 - rgbs[c])
-            else:
-                draw_c = gc * contrib
-            gparts.append(
-                jax.lax.dot_general(
-                    basis,
-                    jnp.where(hit, draw_c, 0.0),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [bd, R]
-            )
-        gparts.append(dsig)
-        fields = gtmp.shape[0]
-        tail = fields - (6 + nc * basis_dim + 1)
-        if tail:
-            gparts.append(jnp.zeros((tail, runrows), jnp.float32))
-        gval = jnp.concatenate(gparts, axis=0)
+                basis_g = basis[sl]
+                gout_g = gout[sl]
+                rgbs = []
+                for c in range(nc):
+                    coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
+                    raw_c = jax.lax.dot(
+                        basis_g, coef_c, preferred_element_type=jnp.float32
+                    )
+                    rgbs.append(
+                        0.5 * jnp.tanh(0.5 * raw_c) + 0.5
+                        if fmt in ("SH", "SG")
+                        else raw_c
+                    )
+
+                # Adjoint for this group.
+                gsum = None
+                for c in range(nc):
+                    term = gout_g[:, c : c + 1] * rgbs[c]
+                    gsum = term if gsum is None else gsum + term
+                e = gsum * contrib
+                p_before = state[sl, 1:2] + jax.lax.dot(
+                    e, before, preferred_element_type=jnp.float32
+                )
+                suffix = t_all[sl] - p_before - e
+                dsdt = jnp.where(hit, gsum * light * esdt - suffix, 0.0)
+
+                # Accumulate chunk-local grads into gacc.
+                for c in range(nc):
+                    if fmt in ("SH", "SG"):
+                        draw_c = (
+                            gout_g[:, c : c + 1]
+                            * contrib
+                            * rgbs[c]
+                            * (1.0 - rgbs[c])
+                        )
+                    else:
+                        draw_c = gout_g[:, c : c + 1] * contrib
+                    r0 = 6 + c * basis_dim
+                    gacc[r0 : r0 + basis_dim, :] = gacc[
+                        r0 : r0 + basis_dim, :
+                    ] + jax.lax.dot_general(
+                        basis_g,
+                        jnp.where(hit, draw_c, 0.0),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                # sigma grad (relu-gated), summed over group rays via MXU.
+                dsig = (
+                    jax.lax.dot_general(
+                        jnp.ones((1, gsz), jnp.float32),
+                        dsdt * dtv,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * sig_gate
+                )
+                gacc[sigma_row : sigma_row + 1, :] = (
+                    gacc[sigma_row : sigma_row + 1, :] + dsig
+                )
+
+                state[sl, 0:1] = state[sl, 0:1] + jax.lax.dot(
+                    sdt, ones_col, preferred_element_type=jnp.float32
+                )
+                state[sl, 1:2] = state[sl, 1:2] + jax.lax.dot(
+                    e, ones_col, preferred_element_type=jnp.float32
+                )
+
         # Per-piece RMW, strictly sequential: after run merging, duplicate
         # blocks within a chunk only arise at rare direction-flip
         # boundaries, and read-add-write per piece keeps those correct
@@ -259,22 +306,15 @@ def _tile_bwd_kernel(
                 rd.wait()
                 gtmp[:, g * quantum : (g + 1) * quantum] = (
                     gtmp[:, g * quantum : (g + 1) * quantum]
-                    + gval[:, g * quantum : (g + 1) * quantum]
+                    + gacc[:, g * quantum : (g + 1) * quantum]
                 )
                 wr = pltpu.make_async_copy(gslc, gdst, sem.at[2, 0])
                 wr.start()
                 wr.wait()
 
-        cum = cum + jnp.sum(sdt, axis=1, keepdims=True)
-        pref = pref + jnp.sum(e, axis=1, keepdims=True)
-        return t + 1, cum, pref
+        return t + 1
 
-    init = (
-        jnp.int32(0),
-        jnp.zeros((rays, 1), jnp.float32),
-        jnp.zeros((rays, 1), jnp.float32),
-    )
-    jax.lax.while_loop(cond, body, init)
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 class TileOptimizer:
@@ -416,6 +456,8 @@ class TileOptimizer:
             out_shape=jax.ShapeDtypeStruct((fields, ncols), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, fields, r.runrows), jnp.float32),
+                pltpu.VMEM((RAYS, 8), jnp.float32),
+                pltpu.VMEM((fields, r.runrows), jnp.float32),
                 pltpu.VMEM((fields, r.runrows), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, max(2, r.runrows // r.quantum))),
             ],
