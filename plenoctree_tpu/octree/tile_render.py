@@ -825,6 +825,7 @@ class TileRenderer:
         interpret=None,
         output="f32",
         tile=TILE,
+        mesh=None,
     ):
         self.tree = tree
         self.opts = RenderOptions(
@@ -859,6 +860,11 @@ class TileRenderer:
         self.output = output  # "f32" (eval/parity) | "u8" (serving)
         self.tile = tile  # pixels per tile side
         self.rays = tile * tile
+        # Multi-chip serving: a 1-axis jax.sharding.Mesh shards the TILE
+        # axis across devices — the Pallas kernel runs on each device's
+        # tile slice via shard_map; ray-gen/phase-1 shard automatically
+        # (GSPMD propagates the kernel's input sharding backward).
+        self.mesh = mesh
         self._p2_cache = {}
         self._frame_cache = {}
 
@@ -1106,14 +1112,45 @@ class TileRenderer:
         wp = -(-width // TILE) * TILE
         n_tiles = (hp // TILE) * (wp // TILE)
         nc = self.n_channels
-        p2 = self._get_p2(n_tiles, ccap)
         tile_inputs = self.make_tile_inputs_fn(height, width, fx, rcap, w1cap, ccap)
+
+        if self.mesh is not None:
+            # Multi-chip: pad the tile axis to a device multiple (padded
+            # tiles carry n_pieces=0 metas -> background no-ops, dropped at
+            # assembly) and run the kernel on each device's slice.
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+
+            axis = self.mesh.axis_names[0]
+            ndev = self.mesh.shape[axis]
+            tpad = -(-n_tiles // ndev) * ndev
+            p2_local = self._get_p2(tpad // ndev, ccap)
+            run_p2 = shard_map(
+                lambda *a: p2_local(*a),
+                mesh=self.mesh,
+                in_specs=(P(axis),) * 11 + (P(),),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+
+            def call_p2(p2_args, soa):
+                padded = tuple(
+                    jnp.pad(a, ((0, tpad - n_tiles),) + ((0, 0),) * (a.ndim - 1))
+                    for a in p2_args
+                )
+                return run_p2(*padded, soa)[:n_tiles]
+
+        else:
+            p2 = self._get_p2(n_tiles, ccap)
+
+            def call_p2(p2_args, soa):
+                return p2(*p2_args, soa)
 
         def frame(c2w, soa, csr, base, extra_data):
             p2_args, n_total, n_chunks, w1_over = tile_inputs(
                 c2w, csr, base, extra_data
             )
-            out = p2(*p2_args, soa)
+            out = call_p2(p2_args, soa)
             rgb = out[:, :, :nc]
             light = out[:, :, nc]
             img = rgb + light[..., None] * self.opts.background_brightness

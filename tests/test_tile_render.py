@@ -203,6 +203,25 @@ class TestTileVsOracle:
         psnr = _psnr(out.astype(np.float32) / 255.0, ref)
         assert psnr > 45.0, f"tile=32/u8 vs oracle PSNR {psnr:.2f}"
 
+    def test_sharded_mesh_matches_single_device(self, scene_tree):
+        # Multi-chip serving: tile axis sharded over an 8-device mesh via
+        # shard_map must reproduce the single-device render bitwise.
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        single = TileRenderer(scene_tree, step_size=1e-3, grid_c=8,
+                              use_bf16=False)
+        sharded = TileRenderer(scene_tree, step_size=1e-3, grid_c=8,
+                               use_bf16=False, mesh=mesh)
+        images, c2ws, focal = render_synthetic_scene(
+            "test", 1, 40, True, 2.0, 6.0
+        )
+        # 40x40 -> 9 tiles: exercises padding to the 8-device multiple.
+        a = single.render_persp(c2ws[0], 40, 40, focal)
+        b = sharded.render_persp(c2ws[0], 40, 40, focal)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
     def test_empty_tree_renders_background(self):
         from plenoctree_tpu.octree import N3Tree
 
