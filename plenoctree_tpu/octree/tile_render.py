@@ -506,24 +506,26 @@ def _merge_runs(runs_start, runs_len, runs_mask, n, rev, quantum, rcap):
     is_new = valid & ~merge_prev
     gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n_merged = jnp.maximum(gid[-1] + 1, 0) * (n > 0)
-    gid_safe = jnp.where(valid, gid, rcap - 1)
-    big = jnp.int32(2**30)
-    new_s = jax.ops.segment_min(
-        jnp.where(valid, s, big), gid_safe, num_segments=rcap
+    # Gather-only group aggregation (segment_min/max lower to XLA scatters,
+    # which serialize badly on TPU under the per-tile vmap): chains are
+    # monotone in travel direction, so a group's extreme start/end are its
+    # FIRST and LAST members, found by searchsorted on the group ids; the
+    # mask OR is a windowed difference of per-bit prefix sums.
+    gid_q = jnp.where(valid, gid, jnp.int32(2**30))
+    first_idx = jnp.clip(
+        jnp.searchsorted(gid_q, slots, side="left"), 0, rcap - 1
     )
-    new_e = jax.ops.segment_max(
-        jnp.where(valid, e, -big), gid_safe, num_segments=rcap
+    last_idx = jnp.clip(
+        jnp.searchsorted(gid_q, slots, side="right") - 1, 0, rcap - 1
     )
-    # Group mask = OR of member masks (bitwise OR over <=4 bits via
-    # per-bit segment_max).
+    new_s = jnp.where(rev == 1, s[last_idx], s[first_idx])
+    new_e = jnp.where(rev == 1, e[first_idx], e[last_idx])
     new_mask = jnp.zeros(rcap, jnp.int32)
     for b in range(4):
-        bit = jax.ops.segment_max(
-            jnp.where(valid, (runs_mask >> b) & 1, 0),
-            gid_safe,
-            num_segments=rcap,
-        )
-        new_mask = new_mask + bit * (2**b)
+        bit = jnp.where(valid, (runs_mask >> b) & 1, 0)
+        csum = jnp.cumsum(bit)
+        lo_sum = jnp.where(first_idx > 0, csum[jnp.maximum(first_idx - 1, 0)], 0)
+        new_mask = new_mask + ((csum[last_idx] - lo_sum) > 0) * (2**b)
     gvalid = slots < n_merged
     new_s = jnp.where(gvalid, new_s, 0)
     new_len = jnp.where(gvalid, new_e - new_s, 0)
