@@ -501,8 +501,7 @@ def _merge_runs(runs_start, runs_len, runs_mask, n, rev, quantum, rcap):
         align(ps) <= align(e - 1) + quantum,
         align(s) <= align(pe - 1) + quantum,
     )
-    merge_prev = valid & dir_ok & win_ok
-    merge_prev = merge_prev.at[0].set(False)
+    merge_prev = valid & dir_ok & win_ok & (slots > 0)
     is_new = valid & ~merge_prev
     gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n_merged = jnp.maximum(gid[-1] + 1, 0) * (n > 0)
