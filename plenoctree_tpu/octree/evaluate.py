@@ -26,15 +26,23 @@ def eval_octree(tree, dataset, cfg, want_lpips=True, want_frames=False):
     # approximate (fine for FPS, not for reported PSNR). NDC rays always
     # march (per-ray origins break the tile-frustum hull).
     if ndc_config is None and getattr(cfg, "fast_eval", False):
+        import jax
         from plenoctree_tpu.octree.tile_render import TileRenderer
 
         fast = not cfg.no_early_stop
         thr = 1e-2 if fast else 0.0
+        mesh = None
+        nshard = int(getattr(cfg, "shard_devices", 0) or 0)
+        if nshard > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()[:nshard]), ("data",))
         tile_r = TileRenderer(
             tree,
             step_size=cfg.renderer_step_size,
             sigma_thresh=thr,
             stop_thresh=thr,
+            mesh=mesh,
         )
 
         def render(c2w):

@@ -100,6 +100,12 @@ _flag(
     "ordering within a 128-row chunk is mean-direction approximate) instead "
     "of the exact march oracle",
 )
+_flag(
+    "shard_devices",
+    0,
+    "with --fast_eval: shard the tile renderer over this many devices "
+    "(1-axis jax Mesh; 0/1 = single device)",
+)
 
 # Octree extraction (parity: octree/extraction.py:66-176)
 _flag("center", "0 0 0", "volume center 'x y z' or single number")
