@@ -136,6 +136,14 @@ def _tile_bwd_kernel(
     state[...] = jnp.zeros(state.shape, jnp.float32)
     gsz = rays // 4
     ones_col = jnp.ones((runrows, 1), jnp.float32)
+    # Loop-invariant [R, R] iotas for the precedence build.
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
+    ).astype(jnp.float32)
+    rid_lt_cid = jax.lax.broadcasted_iota(
+        jnp.int32, (runrows, runrows), 0
+    ) < jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
 
     @pl.when(n_chunks > 0)
     def _():
@@ -171,19 +179,13 @@ def _tile_bwd_kernel(
                 + (f[2:3, :] + f[5:6, :]) * mdir_ref[0, 0, 2]
             )
         )
-        eye = (
-            jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
-        ).astype(jnp.float32)
         key_col = jax.lax.dot_general(
             eye,
             key,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        rid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
-        before = ((key_col < key) | ((key_col == key) & (rid < cid))).astype(
+        before = ((key_col < key) | ((key_col == key) & rid_lt_cid)).astype(
             jnp.float32
         )
 

@@ -627,6 +627,15 @@ def _tile_kernel(
     # multi-pass; the MXU pipe is otherwise idle between the two big dots).
     oi = o_ref[0, :, :] * invd_ref[0, :, :]  # [RAYS, 4]
     ones_col = jnp.ones((runrows, 1), jnp.float32)
+    # Loop-invariant [R, R] iotas for the precedence build (Mosaic does not
+    # hoist vector code out of while bodies).
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
+    ).astype(jnp.float32)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
+    rid_lt_cid = rid < cid
 
     def lane_meta(t):
         """Per-lane rowid/live from the chunk's G piece descriptors."""
@@ -693,19 +702,13 @@ def _tile_kernel(
                 + (f[2:3, :] + f[5:6, :]) * mdir_ref[0, 0, 2]
             )
         )  # [1, runrows]
-        eye = (
-            jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
-        ).astype(jnp.float32)
         key_col = jax.lax.dot_general(
             eye,
             key,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [runrows, 1] — lane->sublane move via MXU (no vector transpose)
-        rid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 0)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (runrows, runrows), 1)
-        before = (key_col < key) | ((key_col == key) & (rid < cid))
+        before = (key_col < key) | ((key_col == key) & rid_lt_cid)
         before_mm = before.astype(mm_dt)
 
         for g in range(4):
