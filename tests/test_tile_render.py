@@ -203,6 +203,33 @@ class TestTileVsOracle:
         psnr = _psnr(out.astype(np.float32) / 255.0, ref)
         assert psnr > 45.0, f"tile=32/u8 vs oracle PSNR {psnr:.2f}"
 
+    def test_quad_mask_is_conservative(self, scene_tree):
+        # Group masks may only skip provably-no-hit work: running the
+        # kernel with every mask bit forced ON must reproduce the masked
+        # render bitwise.
+        import jax.numpy as jnp
+
+        tr = TileRenderer(scene_tree, step_size=1e-3, grid_c=8,
+                          use_bf16=False)
+        images, c2ws, focal = render_synthetic_scene(
+            "test", 1, 32, True, 2.0, 6.0
+        )
+        h = w = 32
+        tr.w1cap = tr.w1cap or 8
+        ti = tr.make_tile_inputs_fn(h, w, float(focal), tr.rcap, 8, tr.ccap)
+        idx = tr.index
+        p2_args, _, _, _ = ti(
+            jnp.asarray(np.asarray(c2ws[0], np.float32)),
+            idx["csr"], idx["base"], tr.extra_data,
+        )
+        n_tiles = p2_args[0].shape[0]
+        p2 = tr._get_p2(n_tiles, tr.ccap)
+        out_masked = np.asarray(p2(*p2_args, idx["soa"]))
+        full = list(p2_args)
+        full[4] = jnp.full_like(p2_args[4], 15)
+        out_full = np.asarray(p2(*full, idx["soa"]))
+        np.testing.assert_array_equal(out_masked, out_full)
+
     def test_sharded_mesh_matches_single_device(self, scene_tree):
         # Multi-chip serving: tile axis sharded over an 8-device mesh via
         # shard_map must reproduce the single-device render bitwise.
