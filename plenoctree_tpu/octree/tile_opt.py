@@ -356,7 +356,8 @@ class TileOptimizer:
         r.runrows = runrows
         r.use_bf16 = False  # gradients want full f32 forward
         r.index = tr.build_tile_index(
-            tree, 0.0, grid_c, fine_c2, runrows, keep_all=True
+            tree, 0.0, grid_c, fine_c2, runrows, keep_all=True,
+            quantum=quantum,
         )
         r.grid_c = grid_c
         r.fine_c2 = r.index["fine_c2"]
@@ -541,7 +542,7 @@ class TileOptimizer:
 
         def loss_fn(leaf_dataT, c2w, gt):
             p2_args, n_total, n_chunks, w1_over = tile_inputs(
-                c2w, idx["csr"], idx["base"], r.extra_data
+                c2w, idx["csr"], idx["base"], r.extra_data, idx["blk_bbox"]
             )
             p2_args = jax.lax.stop_gradient(p2_args)
             soa = assemble(leaf_dataT)
@@ -562,7 +563,7 @@ class TileOptimizer:
 
         def render(leaf_dataT, c2w):
             p2_args, n_total, n_chunks, w1_over = tile_inputs(
-                c2w, idx["csr"], idx["base"], r.extra_data
+                c2w, idx["csr"], idx["base"], r.extra_data, idx["blk_bbox"]
             )
             soa = assemble(leaf_dataT)
             out = p2(*p2_args, soa)

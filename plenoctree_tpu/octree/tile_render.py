@@ -65,7 +65,8 @@ RUNROWS = 128  # default instance rows per DMA chunk (must be a multiple of 128)
 
 
 def build_tile_index(
-    tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RUNROWS, keep_all=False
+    tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RUNROWS,
+    keep_all=False, quantum=32,
 ):
     """Host-side per-scene preprocessing.
 
@@ -163,6 +164,13 @@ def build_tile_index(
     col_leaf = np.full(3 * npad, n_kept, np.int32)  # fill = dummy row
     ctr = 0.5 * (box_lo + box_hi)
     ext = box_hi - box_lo
+    # Static per-quantum-block bboxes over each copy's sorted rows: phase 1
+    # intersects them with the quad frusta for per-PIECE group masks (far
+    # tighter than the range-level mask) and drops no-overlap pieces.
+    nblk = npad // quantum
+    blk_bbox = np.zeros((3 * nblk, 8), np.float32)
+    blk_bbox[:, 0:3] = np.inf
+    blk_bbox[:, 3:6] = -np.inf
     for axis in range(3):
         p = (axis, (axis + 1) % 3, (axis + 2) % 3)
         v2 = np.clip((ctr[:, p[2]] * c2).astype(np.int64), 0, c2 - 1)
@@ -173,10 +181,22 @@ def build_tile_index(
         count = np.bincount(key, minlength=C * C * c2)
         csr[axis, 1:] = np.cumsum(count)
         margin[axis] = 0.5 * float(ext[:, p[2]].max()) if n else 0.0
+        lo_s = np.full((npad, 3), np.inf, np.float32)
+        hi_s = np.full((npad, 3), -np.inf, np.float32)
+        lo_s[:n] = rows[order][:, 0:3]
+        hi_s[:n] = rows[order][:, 3:6]
+        blk_bbox[axis * nblk : (axis + 1) * nblk, 0:3] = lo_s.reshape(
+            nblk, quantum, 3
+        ).min(axis=1)
+        blk_bbox[axis * nblk : (axis + 1) * nblk, 3:6] = hi_s.reshape(
+            nblk, quantum, 3
+        ).max(axis=1)
     return {
         "col_leaf": col_leaf,
         "n_kept": n_kept,
         "keep_mask": keep,
+        "blk_bbox": jnp.asarray(blk_bbox),
+        "blk_quantum": quantum,
         "soa": jnp.asarray(soa),
         "csr": jnp.asarray(csr.astype(np.int32)),
         "base": jnp.asarray(base.astype(np.int32)),
@@ -234,8 +254,8 @@ _GROUP_CORNER_OFF = lambda q: np.array(  # noqa: E731
 
 
 def _phase1(
-    csr, base, margin, o4, d4, gplanes, span_lo, span_hi, any_hit, grid_c,
-    fine_c2, w1cap, rcap, quantum, ccap,
+    csr, base, margin, blk_bbox, o4, d4, gplanes, span_lo, span_hi, any_hit,
+    grid_c, fine_c2, w1cap, rcap, quantum, ccap,
 ):
     """One tile's candidate row ranges, front-to-back slab order.
 
@@ -414,14 +434,44 @@ def _phase1(
     piece_c0, piece_lo, piece_hi, piece_mask, n_pieces = _expand_pieces(
         runs_start, runs_len, runs_mask, n_merged, rev, quantum, ccap
     )
+
+    # Per-piece mask refinement against the STATIC quantum-block bboxes
+    # (exact min/max over the block's member rows, build-time): intersect
+    # with the inherited range-level mask, then compact zero-mask pieces
+    # away — their DMA and chunk slots vanish. Saturation detection stays
+    # on the PRE-drop piece count.
+    pvalid = jnp.arange(ccap, dtype=jnp.int32) < jnp.minimum(n_pieces, ccap)
+    bb = blk_bbox[piece_c0 // quantum]  # [ccap, 8]
+    xp = jnp.where(nrm[None] > 0, bb[:, None, None, 3:6], bb[:, None, None, 0:3])
+    sdist = jnp.sum(nrm[None] * (xp - apex), axis=-1)  # [ccap, 4, 4]
+    bmask_bits = jnp.all(sdist >= -1e-6, axis=-1)  # [ccap, 4]
+    bmask = jnp.sum(
+        bmask_bits.astype(jnp.int32) * (2 ** jnp.arange(4))[None, :], axis=-1
+    )
+    mask2 = jnp.where(pvalid, piece_mask & bmask, 0)
+    keep_p = mask2 > 0
+    prank = jnp.cumsum(keep_p.astype(jnp.int32)) - 1
+    n_kept_p = jnp.maximum(prank[-1] + 1, 0) * jnp.any(keep_p)
+    pslots = jnp.arange(ccap, dtype=jnp.int32)
+    pidx = jnp.clip(
+        jnp.searchsorted(prank, pslots, side="left"), 0, ccap - 1
+    )
+    pok = pslots < n_kept_p
+    piece_c0 = jnp.where(pok, piece_c0[pidx], 0)
+    piece_lo = jnp.where(pok, piece_lo[pidx], 0)
+    piece_hi = jnp.where(pok, piece_hi[pidx], 0)
+    piece_mask = jnp.where(pok, mask2[pidx], 0)
+    # meta's piece count becomes the post-drop count; the pre-drop count
+    # keeps driving ccap regrowth (conservative).
     return (
         piece_c0,
         piece_lo,
         piece_hi,
         piece_mask,
-        n_pieces,
+        n_kept_p,
         jnp.minimum(n_total, jnp.int32(2**30)),
         w1_over,
+        n_pieces,
     )
 
 
@@ -840,7 +890,9 @@ class TileRenderer:
         )
         self.runrows = runrows
         self.use_bf16 = use_bf16
-        self.index = build_tile_index(tree, sigma_thresh, grid_c, fine_c2, runrows)
+        self.index = build_tile_index(
+            tree, sigma_thresh, grid_c, fine_c2, runrows, quantum=quantum
+        )
         self.grid_c = grid_c
         self.fine_c2 = self.index["fine_c2"]
         self.rcap = rcap
@@ -985,13 +1037,13 @@ class TileRenderer:
                 quantum=self.quantum,
                 ccap=ccap,
             ),
-            in_axes=(None, None, None, 0, 0, 0, 0, 0, 0),
+            in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0),
         )
 
         def tilize(x):
             return _tilize(x, hp, wp, TILE)
 
-        def tile_inputs(c2w, csr, base, extra_data):
+        def tile_inputs(c2w, csr, base, extra_data, blk_bbox):
             # Pinhole rays at the TRUE size (principal point at the true
             # center): edge-pad to the tile grid via clamped pixel coords.
             px = jnp.minimum(jnp.arange(wp, dtype=jnp.float32), width - 1.0)
@@ -1052,14 +1104,18 @@ class TileRenderer:
             nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
             gplanes = nrm.reshape(n_tiles, 16, 3)
 
-            chunk_c0, chunk_lo, chunk_hi, chunk_mask, n_chunks, n_total, w1_over = p1(
-                csr, base, self.index["margin"], o[:, corners], dn[:, corners],
+            (
+                chunk_c0, chunk_lo, chunk_hi, chunk_mask, n_kept_p,
+                n_total, w1_over, n_pieces_pre,
+            ) = p1(
+                csr, base, self.index["margin"], blk_bbox,
+                o[:, corners], dn[:, corners],
                 gplanes, span_lo, span_hi, any_hit,
             )
-            # Kernel iterates the chunk list; saturation detection keys on
-            # the pre-merge emission count (rcap) and the pre-clip chunk
-            # count (ccap).
-            nck = jnp.minimum(n_chunks, ccap).astype(jnp.int32)
+            # Kernel iterates the post-drop piece list; saturation
+            # detection keys on the pre-merge emission count (rcap) and
+            # the PRE-drop piece count (ccap).
+            nck = jnp.minimum(n_kept_p, ccap).astype(jnp.int32)
             z = jnp.zeros_like(nck)
             meta = jnp.stack([nck, z, z, z], axis=-1)
             mean_d = jnp.mean(dn, axis=1)
@@ -1083,7 +1139,7 @@ class TileRenderer:
                 mdir,
                 basis,
             )
-            return p2_args, n_total, n_chunks, w1_over
+            return p2_args, n_total, n_pieces_pre, w1_over
 
         return tile_inputs
 
@@ -1150,9 +1206,9 @@ class TileRenderer:
             def call_p2(p2_args, soa):
                 return p2(*p2_args, soa)
 
-        def frame(c2w, soa, csr, base, extra_data):
+        def frame(c2w, soa, csr, base, extra_data, blk_bbox):
             p2_args, n_total, n_chunks, w1_over = tile_inputs(
-                c2w, csr, base, extra_data
+                c2w, csr, base, extra_data, blk_bbox
             )
             out = call_p2(p2_args, soa)
             rgb = out[:, :, :nc]
@@ -1187,6 +1243,7 @@ class TileRenderer:
         return fn(
             jnp.asarray(np.asarray(c2w, np.float32)),
             idx["soa"], idx["csr"], idx["base"], self.extra_data,
+            idx["blk_bbox"],
         )
 
     def _fetch(self, out, height, width):

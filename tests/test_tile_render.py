@@ -220,7 +220,7 @@ class TestTileVsOracle:
         idx = tr.index
         p2_args, _, _, _ = ti(
             jnp.asarray(np.asarray(c2ws[0], np.float32)),
-            idx["csr"], idx["base"], tr.extra_data,
+            idx["csr"], idx["base"], tr.extra_data, idx["blk_bbox"],
         )
         n_tiles = p2_args[0].shape[0]
         p2 = tr._get_p2(n_tiles, tr.ccap)
