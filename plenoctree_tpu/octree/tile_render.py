@@ -22,18 +22,24 @@ VPU/MXU math:
     compute the EXACT lateral-2 extent of the frustum hull inside the
     strip (candidate min/max over all point-pair segments of the 8
     projected corner crossings) plus the axis copy's max clipped
-    half-extent, giving ONE tight contiguous CSR row range. Emit compacted
-    (start, len) ranges in front-to-back slab order. Tiny CSR gathers are
-    the only random access per frame.
-  * Phase 2 (Pallas kernel, grid over tiles): double-buffered 128-row DMA
-    chunks of instance rows HBM->VMEM; each chunk is tested against all
-    256 tile rays (dense VPU), decoded with one [3*rows, basis] x
-    [basis, 256] MXU matmul, and composited. WITHIN a chunk, occlusion
-    ordering uses the tile's mean ray direction: a [rows, rows]
-    precedence mask matmul (MXU) gives every hit the optical depth of
-    the hits in front of it — no per-ray sort. Across chunks the order
-    is the front-to-back emission order with a running optical depth.
-    The whole tile keeps only (cum_od [256], acc [3,256]) as state.
+    half-extent, giving ONE tight contiguous CSR row range, stamped with a
+    4-bit quad-ray-group overlap mask (quarter-frustum p-vertex tests).
+    Ranges in front-to-back slab order are window-merged, expanded into
+    quantum-aligned (32-column) DMA piece descriptors, mask-refined
+    against STATIC per-block row bboxes, and zero-mask pieces dropped.
+    Tiny CSR/bbox gathers are the only random access per frame.
+  * Phase 2 (Pallas kernel, grid over tiles): an nbuf-deep DMA ring packs
+    runrows/quantum pieces per dense [fields, 128] VMEM chunk; each chunk
+    is tested against the tile rays (dense VPU, FMA-form slab tests),
+    decoded with [rays, basis] x [basis, rows] MXU matmuls (tanh-form
+    sigmoid), and composited with MXU ones-column reductions. Rays are
+    QUAD-MAJOR (4 contiguous 64-ray groups = the tile's 2x2 pixel quads);
+    a group's whole compute is skipped when no piece in the chunk carries
+    its mask bit. WITHIN a chunk, occlusion ordering uses the tile's mean
+    ray direction: a [rows, rows] precedence mask matmul (MXU) gives
+    every hit the optical depth of the hits in front of it — no per-ray
+    sort. Across chunks the order is the front-to-back emission order
+    with a running per-ray optical depth in VMEM scratch.
 
 svox semantics preserved (march.py parity): sigma<=sigma_thresh leaves
 contribute neither color nor attenuation; dt = (exit-entry) + step_size;
