@@ -23,7 +23,40 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 BASELINE_RAYS_PER_SEC = 17000.0  # JaxNeRF V100 rays/sec/GPU (see docstring)
 
 
+def _watchdog():
+    """Emit an honest failure line instead of hanging the driver.
+
+    The axon relay has had multi-hour outages (STATUS.md); backend init or
+    a remote compile can then block forever. If no measurement has been
+    printed within BENCH_DEADLINE seconds (default 20 min — first remote
+    compiles are slow but bounded), print a value-0 JSON line and exit."""
+    import threading
+
+    deadline = float(os.environ.get("BENCH_DEADLINE", 1200))
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "train_rays_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "rays/s/chip (TPU relay unreachable within "
+                    f"{int(deadline)}s — see STATUS.md relay outages)",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _watchdog()
     import jax
 
     if os.environ.get("BENCH_RBG", "0") == "1":
@@ -83,6 +116,7 @@ def main():
 
     rays_per_sec = batch_size * steps / dt
     per_chip = rays_per_sec / n_chips
+    watchdog.cancel()
     print(
         json.dumps(
             {
