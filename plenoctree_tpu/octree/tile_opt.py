@@ -362,7 +362,7 @@ class TileOptimizer:
         r.grid_c = grid_c
         r.fine_c2 = r.index["fine_c2"]
         r.rcap = rcap
-        r.ccap = ccap or rcap * max(2, tr.RUNROWS // quantum)
+        r.ccap = ccap or rcap * max(2, runrows // quantum)
         r.nbuf = nbuf
         r.quantum = quantum
         r.w1cap = None

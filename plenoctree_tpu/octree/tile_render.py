@@ -905,7 +905,7 @@ class TileRenderer:
         self.w1cap = w1cap
         # Piece cap: pieces ~ rows/quantum + one per run, so scale the
         # default with the packing factor (sticky growth handles outliers).
-        self.ccap = ccap or rcap * max(2, RUNROWS // quantum)
+        self.ccap = ccap or rcap * max(2, runrows // quantum)
         self.nbuf = nbuf
         self.quantum = quantum
         self.fmt = tree.data_format.format
