@@ -51,7 +51,6 @@ def _tile_bwd_kernel(
     # no hits, so their grads/prefixes are zero either way)
     o_ref,  # (1, RAYS, 4)
     invd_ref,  # (1, RAYS, 4)
-    dn_ref,  # (1, RAYS, 4)  (unused here; kept for arg parity with fwd)
     aux_ref,  # (1, RAYS, 4)
     mdir_ref,  # (1, 1, 4)
     basis_ref,  # (1, RAYS, bd)
@@ -446,7 +445,6 @@ class TileOptimizer:
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk_mask
                 vspec,  # o
                 vspec,  # invd
-                vspec,  # dn
                 vspec,  # aux
                 vspec,  # mdir
                 vspec,  # basis
@@ -464,7 +462,7 @@ class TileOptimizer:
                 pltpu.VMEM((fields, r.runrows), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, max(2, r.runrows // r.quantum))),
             ],
-            input_output_aliases={14: 0},
+            input_output_aliases={13: 0},
             interpret=r.interpret,
         )
 
@@ -475,7 +473,7 @@ class TileOptimizer:
                 )
                 args = [sl(a) for a in p2_args]
                 gsoa = call(
-                    *args[:11], soa, sl(out), sl(g), gsoa
+                    *args[:10], soa, sl(out), sl(g), gsoa
                 )
                 return gsoa, None
             gsoa, _ = jax.lax.scan(body, gz, jnp.arange(n_tiles))

@@ -605,7 +605,6 @@ def _tile_kernel(
     # rays g*RAYS/4..(g+1)*RAYS/4 are the g-th (tile/2)^2-pixel quad)
     o_ref,  # (1, RAYS, 4): origin xyz + pad
     invd_ref,  # (1, RAYS, 4)
-    dn_ref,  # (1, RAYS, 4): unit tree-space direction + pad
     aux_ref,  # (1, RAYS, 4): delta_scale, tmin, tmax, pad
     mdir_ref,  # (1, 1, 4): mean ray dir + pad
     basis_ref,  # (1, RAYS, basis_dim)
@@ -988,9 +987,6 @@ class TileRenderer:
                         (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                     ),
                     pl.BlockSpec(
-                        (1, RAYS, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-                    ),
-                    pl.BlockSpec(
                         (1, 1, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                     ),
                     pl.BlockSpec(
@@ -1140,7 +1136,6 @@ class TileRenderer:
                 chunk_mask[:, None, :],
                 jnp.concatenate([o, pad1], axis=-1),
                 jnp.concatenate([invd, pad1], axis=-1),
-                jnp.concatenate([dn, pad1], axis=-1),
                 aux,
                 mdir,
                 basis,
@@ -1194,7 +1189,7 @@ class TileRenderer:
             run_p2 = shard_map(
                 lambda *a: p2_local(*a),
                 mesh=self.mesh,
-                in_specs=(P(axis),) * 11 + (P(),),
+                in_specs=(P(axis),) * 10 + (P(),),
                 out_specs=P(axis),
                 check_vma=False,
             )
