@@ -885,6 +885,7 @@ class TileRenderer:
         output="f32",
         tile=TILE,
         mesh=None,
+        index=None,
     ):
         self.tree = tree
         self.opts = RenderOptions(
@@ -895,7 +896,11 @@ class TileRenderer:
         )
         self.runrows = runrows
         self.use_bf16 = use_bf16
-        self.index = build_tile_index(
+        # `index` injects a prebuilt/cached build_tile_index result (the
+        # build is minutes of host work on multi-M-leaf trees; serving
+        # setups cache it per (tree, thresh, grid_c, fine_c2, runrows,
+        # quantum) — the caller owns key consistency).
+        self.index = index if index is not None else build_tile_index(
             tree, sigma_thresh, grid_c, fine_c2, runrows, quantum=quantum
         )
         self.grid_c = grid_c

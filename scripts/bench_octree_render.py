@@ -111,6 +111,22 @@ def main():
     t0 = time.time()
     if which == "tile":
         thr = 1e-2 if fast else 0.0
+        # Index build is ~10 min of host preprocessing on the 5.6M-leaf
+        # bench tree — cache it across bench invocations (static scene).
+        idx_cache = (
+            f"/tmp/bench_idx_d{depth}_t{thr}_c{grid_c}_r{runrows}_q{quantum}.pkl"
+        )
+        index = None
+        if os.environ.get("BO_IDX_CACHE", "1") == "1" and os.path.exists(idx_cache):
+            import pickle
+
+            with open(idx_cache, "rb") as f:
+                index = pickle.load(f)
+            import jax.numpy as jnp
+
+            for k in ("soa", "csr", "base", "margin", "blk_bbox"):
+                index[k] = jnp.asarray(index[k])
+            print(f"tile index: loaded cache {idx_cache} ({time.time()-t0:.1f}s)")
         rend = TileRenderer(
             tree,
             sigma_thresh=thr,
@@ -121,7 +137,17 @@ def main():
             runrows=runrows,
             quantum=quantum,
             nbuf=nbuf,
+            index=index,
         )
+        if index is None and os.environ.get("BO_IDX_CACHE", "1") == "1":
+            import pickle
+
+            host = dict(rend.index)
+            for k in ("soa", "csr", "base", "margin", "blk_bbox"):
+                host[k] = np.asarray(host[k])
+            with open(idx_cache, "wb") as f:
+                pickle.dump(host, f, protocol=4)
+            print(f"tile index: cached to {idx_cache}")
         print(
             f"tile renderer: C={grid_c} instances={rend.index['n_instances']}"
             f" soa={rend.index['soa'].shape} ({time.time()-t0:.1f}s)"
