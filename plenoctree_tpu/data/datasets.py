@@ -81,15 +81,20 @@ class Dataset:
         return self._next()
 
     def peek(self):
-        if self._queue is not None:
-            # Blocking get + put-back (no busy-wait); safe because this
+        """Return the batch the next __next__ will yield, without consuming
+        it. Repeated peeks return the SAME batch (reference queue-front
+        semantics — reference nerf_sh/nerf/datasets.py peek): the held
+        batch lives at the front of _requeue until __next__ drains it."""
+        held = getattr(self, "_requeue", None)
+        if held:
+            item = held[0]
+        else:
+            # Blocking get + hold (no busy-wait); safe because this
             # dataset has a single consumer thread.
-            item = self._queue.get()
-            batch = {k: v for k, v in item.items()}
+            item = self._queue.get() if self._queue is not None else self._next()
             self._requeue = getattr(self, "_requeue", [])
             self._requeue.append(item)
-            return batch
-        return self._next()
+        return {k: v for k, v in item.items()}
 
     def _fill_queue(self):
         while True:

@@ -156,7 +156,7 @@ def shade(data, cells, dts, count, basis, fmt, basis_dim, bg):
     w = t_excl * (1.0 - att)
     n_channels = (data.shape[-1] - 1) // basis_dim
     coeffs = rows[..., :-1].reshape(rows.shape[:2] + (n_channels, basis_dim))
-    raw = jnp.einsum("rkcb,rb->rkc", coeffs, basis)
+    raw = jnp.einsum("rkcb,rb->rkc", coeffs, basis, precision="highest")
     rgb = jax.nn.sigmoid(raw) if fmt in ("SH", "SG") else raw
     return jnp.sum(w[..., None] * rgb, axis=1) + cp[:, -1:] * bg
 
@@ -174,7 +174,7 @@ def shade_strip(data, cells_s, dts_s, valid_s, basis, light, acc, fmt, basis_dim
     w = t_excl * (1.0 - att)
     n_channels = (data.shape[-1] - 1) // basis_dim
     coeffs = rows[..., :-1].reshape(rows.shape[:2] + (n_channels, basis_dim))
-    raw = jnp.einsum("rkcb,rb->rkc", coeffs, basis)
+    raw = jnp.einsum("rkcb,rb->rkc", coeffs, basis, precision="highest")
     rgb = jax.nn.sigmoid(raw) if fmt in ("SH", "SG") else raw
     return light * cp[:, -1], acc + jnp.sum(w[..., None] * rgb, axis=1)
 

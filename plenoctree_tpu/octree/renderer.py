@@ -352,7 +352,7 @@ def _make_step(arrays, rp, fmt, basis_dim, depth_limit, opts):
         weight = jnp.where(active, light * (1.0 - att), 0.0)
 
         coeffs = vals[..., :-1].reshape(vals.shape[:-1] + (n_channels, basis_dim))
-        raw = jnp.einsum("...ck,...k->...c", coeffs, basis)
+        raw = jnp.einsum("...ck,...k->...c", coeffs, basis, precision="highest")
         rgb = jax.nn.sigmoid(raw) if fmt in ("SH", "SG") else raw
 
         accum = accum + weight[..., None] * rgb

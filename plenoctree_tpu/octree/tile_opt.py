@@ -183,7 +183,11 @@ def _tile_bwd_kernel(
             key,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
+        # HIGHEST is load-bearing (see _tile_kernel): DEFAULT truncates to
+        # bf16 on the MXU and `before` stops being a strict total order for
+        # keys within bf16 eps (adjacent deep-tree cells are).
         before = ((key_col < key) | ((key_col == key) & rid_lt_cid)).astype(
             jnp.float32
         )
@@ -338,7 +342,7 @@ class TileOptimizer:
         rcap=256,
         ccap=None,
         nbuf=4,
-        quantum=32,
+        quantum=128,
         tile=tr.TILE,
         interpret=None,
     ):
@@ -354,6 +358,12 @@ class TileOptimizer:
         )
         r.runrows = runrows
         r.use_bf16 = False  # gradients want full f32 forward
+        interp = jax.default_backend() != "tpu" if interpret is None else interpret
+        if not interp and quantum % 128 != 0:
+            raise ValueError(
+                f"quantum={quantum} unsupported on TPU hardware (Mosaic "
+                "requires 128-aligned lane slices); use quantum=128."
+            )
         r.index = tr.build_tile_index(
             tree, 0.0, grid_c, fine_c2, runrows, keep_all=True,
             quantum=quantum,
@@ -373,9 +383,7 @@ class TileOptimizer:
         r.extra_data = (
             None if tree.extra_data is None else jnp.asarray(tree.extra_data)
         )
-        r.interpret = (
-            jax.default_backend() != "tpu" if interpret is None else interpret
-        )
+        r.interpret = interp
         r.output = "f32"
         r.tile = tile
         r.rays = tile * tile

@@ -63,6 +63,9 @@ from plenoctree_tpu.octree.renderer import RenderOptions, _ray_basis
 TILE = 16  # pixels per tile side (256 rays)
 RAYS = TILE * TILE
 RUNROWS = 128  # default instance rows per DMA chunk (must be a multiple of 128)
+# Bump whenever build_tile_index's output layout changes (cache invalidation
+# for persisted indexes, e.g. scripts/bench_octree_render.py).
+INDEX_FORMAT_VERSION = 4
 
 
 # ---------------------------------------------------------------------------
@@ -72,7 +75,7 @@ RUNROWS = 128  # default instance rows per DMA chunk (must be a multiple of 128)
 
 def build_tile_index(
     tree, sigma_thresh=0.0, grid_c=64, fine_c2=None, runrows=RUNROWS,
-    keep_all=False, quantum=32,
+    keep_all=False, quantum=128,
 ):
     """Host-side per-scene preprocessing.
 
@@ -301,8 +304,14 @@ def _phase1(
     t_in = jnp.minimum(ta, tb)
     t_out = jnp.maximum(ta, tb)
     # Slab pruning via the tile's conservative t-span (over ALL rays).
+    # Guard scales with |t|: TPU f32 division/rsqrt are approximate
+    # (~1e-6 relative), so edge rays carry up to ~1e-2 absolute t error
+    # vs the IEEE-exact CPU path — measured cross-backend aux diffs of
+    # 1.5e-2 flipped slab pruning non-conservatively before this guard.
+    tguard = 2e-2 * (1.0 + jnp.maximum(jnp.abs(span_lo), jnp.abs(span_hi)))
     slab_valid = (
-        jnp.any((t_in <= span_hi) & (t_out >= span_lo), axis=1) & any_hit
+        jnp.any((t_in <= span_hi + tguard) & (t_out >= span_lo - tguard), axis=1)
+        & any_hit
     )  # [C]
 
     # Lateral footprint: corner positions at both plane crossings. The 8
@@ -316,8 +325,11 @@ def _phase1(
     pts = lat.reshape(C, 8, 2)
     lat_lo = jnp.min(pts, axis=1)  # [C, 2]
     lat_hi = jnp.max(pts, axis=1)
-    v_lo = jnp.floor(lat_lo[:, 0] * C - 1e-4).astype(jnp.int32)
-    v_hi = jnp.floor(lat_hi[:, 0] * C + 1e-4).astype(jnp.int32)
+    # Bin epsilons sized for TPU float noise: crossing positions carry
+    # ~1e-5 coordinate error (approximate divide, |d|*t*releps), which is
+    # ~1e-3 in bin units at C=64..256 — 1e-2 dominates it with slack.
+    v_lo = jnp.floor(lat_lo[:, 0] * C - 1e-2).astype(jnp.int32)
+    v_hi = jnp.floor(lat_hi[:, 0] * C + 1e-2).astype(jnp.int32)
     v_lo = jnp.clip(v_lo, 0, C - 1)
     v_hi = jnp.clip(v_hi, 0, C - 1)
 
@@ -341,7 +353,9 @@ def _phase1(
     hi1 = (w1c.astype(jnp.float32) + 1.0) / C
     ep1 = pts[:, None, :, 0]  # [C, 1, 8]
     ep2 = pts[:, None, :, 1]
-    ep_in = (ep1 >= lo1[..., None]) & (ep1 <= hi1[..., None])  # [C, w1cap, 8]
+    ep_in = (ep1 >= lo1[..., None] - 5e-5) & (
+        ep1 <= hi1[..., None] + 5e-5
+    )  # [C, w1cap, 8] (strip padded by the float-noise bound)
     p1 = pts[:, _SEG_II, 0][:, None, :]  # [C, 1, 28]
     q1 = pts[:, _SEG_JJ, 0][:, None, :]
     p2 = pts[:, _SEG_II, 1][:, None, :]
@@ -353,7 +367,10 @@ def _phase1(
 
     def cross_l2(bound):
         t = (bound[..., None] - p1) / safe_den
-        ok = nz & (t >= 0.0) & (t <= 1.0)
+        # Widened parameter window: a crossing at a segment endpoint must
+        # not drop out under approximate-division jitter (conservative —
+        # extra candidates only widen the trim).
+        ok = nz & (t >= -1e-4) & (t <= 1.0 + 1e-4)
         return ok, p2 + t * (q2 - p2)
 
     ok_a, x_a = cross_l2(lo1)
@@ -365,12 +382,12 @@ def _phase1(
     l2_max = jnp.max(jnp.where(cand_ok, cand_l2, -big), axis=-1)
     has = jnp.any(cand_ok, axis=-1)
     w1_ok = w1_ok & has
-    mh = margin[axis] + 1e-6
+    mh = margin[axis] + 5e-5
     v2_lo = jnp.clip(
-        jnp.floor((l2_min - mh) * c2 - 1e-4).astype(jnp.int32), 0, c2 - 1
+        jnp.floor((l2_min - mh) * c2 - 2e-2).astype(jnp.int32), 0, c2 - 1
     )
     v2_hi = jnp.clip(
-        jnp.floor((l2_max + mh) * c2 + 1e-4).astype(jnp.int32), 0, c2 - 1
+        jnp.floor((l2_max + mh) * c2 + 2e-2).astype(jnp.int32), 0, c2 - 1
     )
 
     cell_lo = (a_pos[:, None] * C + w1c) * c2 + v2_lo  # [C, w1cap]
@@ -404,8 +421,11 @@ def _phase1(
         axis=-1,
     )
     unperm = (perm[None, :] == jnp.arange(3)[:, None]).astype(jnp.float32)
-    box_lo3 = jnp.einsum("xp,cwp->cwx", unperm, box_lo_p)
-    box_hi3 = jnp.einsum("xp,cwp->cwx", unperm, box_hi_p)
+    # precision="highest": DEFAULT would truncate the box coordinates to
+    # bf16 on the MXU (~4e-3 error), overwhelming the 3e-4 mask-test slack
+    # below and clearing quad-mask bits for boxes real rays hit.
+    box_lo3 = jnp.einsum("xp,cwp->cwx", unperm, box_lo_p, precision="highest")
+    box_hi3 = jnp.einsum("xp,cwp->cwx", unperm, box_hi_p, precision="highest")
     apex = o4[0]  # [3] (shared-origin pinhole tile)
     nrm = gplanes.reshape(4, 4, 3)  # [group, plane, xyz]
     xp = jnp.where(
@@ -413,7 +433,7 @@ def _phase1(
         box_lo3[:, :, None, None, :],
     )  # [C, w1cap, 4, 4, 3]
     sd = jnp.sum(nrm[None, None] * (xp - apex), axis=-1)  # [C, w1cap, 4, 4]
-    gmask = jnp.all(sd >= -1e-6, axis=-1)  # [C, w1cap, 4]
+    gmask = jnp.all(sd >= -3e-4, axis=-1)  # [C, w1cap, 4]
     r_mask = jnp.sum(
         gmask.astype(jnp.int32) * (2 ** jnp.arange(4))[None, None, :], axis=-1
     )
@@ -450,7 +470,7 @@ def _phase1(
     bb = blk_bbox[piece_c0 // quantum]  # [ccap, 8]
     xp = jnp.where(nrm[None] > 0, bb[:, None, None, 3:6], bb[:, None, None, 0:3])
     sdist = jnp.sum(nrm[None] * (xp - apex), axis=-1)  # [ccap, 4, 4]
-    bmask_bits = jnp.all(sdist >= -1e-6, axis=-1)  # [ccap, 4]
+    bmask_bits = jnp.all(sdist >= -3e-4, axis=-1)  # [ccap, 4]
     bmask = jnp.sum(
         bmask_bits.astype(jnp.int32) * (2 ** jnp.arange(4))[None, :], axis=-1
     )
@@ -762,7 +782,14 @@ def _tile_kernel(
             key,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [runrows, 1] — lane->sublane move via MXU (no vector transpose)
+        # HIGHEST precision is load-bearing: DEFAULT truncates the matmul
+        # inputs to bf16 on TPU, so key_col != key for almost every key and
+        # the strict-order construction below degrades to an inconsistent
+        # relation for keys within bf16 eps (adjacent deep-tree cells are) —
+        # pairs could occlude each other BOTH ways. Exact key_col keeps
+        # `before` a strict total order.
         before = (key_col < key) | ((key_col == key) & rid_lt_cid)
         before_mm = before.astype(mm_dt)
 
@@ -880,7 +907,7 @@ class TileRenderer:
         w1cap=None,
         ccap=None,
         nbuf=4,
-        quantum=32,
+        quantum=128,
         interpret=None,
         output="f32",
         tile=TILE,
@@ -896,13 +923,36 @@ class TileRenderer:
         )
         self.runrows = runrows
         self.use_bf16 = use_bf16
+        self.interpret = (
+            jax.default_backend() != "tpu" if interpret is None else interpret
+        )
+        if not self.interpret and quantum % 128 != 0:
+            # Mosaic constraint: HBM slices along the lane dim must be
+            # 128-aligned, so sub-128 piece DMAs only exist in interpret
+            # mode (the TPU backend rejects them at compile time).
+            raise ValueError(
+                f"quantum={quantum} unsupported on TPU hardware: piece DMAs "
+                "slice the soa lane dim, which Mosaic requires to be "
+                "128-aligned. Use quantum=128 (or interpret=True)."
+            )
         # `index` injects a prebuilt/cached build_tile_index result (the
         # build is minutes of host work on multi-M-leaf trees; serving
         # setups cache it per (tree, thresh, grid_c, fine_c2, runrows,
-        # quantum) — the caller owns key consistency).
-        self.index = index if index is not None else build_tile_index(
-            tree, sigma_thresh, grid_c, fine_c2, runrows, quantum=quantum
-        )
+        # quantum)).
+        if index is not None:
+            if int(index["blk_quantum"]) != quantum or int(index["grid_c"]) != grid_c:
+                raise ValueError(
+                    "injected tile index was built with blk_quantum="
+                    f"{index['blk_quantum']}/grid_c={index['grid_c']} but the "
+                    f"renderer was constructed with quantum={quantum}/"
+                    f"grid_c={grid_c}; the kernel would index blk_bbox with "
+                    "the wrong block size (silently wrong renders)."
+                )
+            self.index = index
+        else:
+            self.index = build_tile_index(
+                tree, sigma_thresh, grid_c, fine_c2, runrows, quantum=quantum
+            )
         self.grid_c = grid_c
         self.fine_c2 = self.index["fine_c2"]
         self.rcap = rcap
@@ -919,9 +969,6 @@ class TileRenderer:
         self.invradius = jnp.asarray(tree.invradius, jnp.float32)
         self.extra_data = (
             None if tree.extra_data is None else jnp.asarray(tree.extra_data)
-        )
-        self.interpret = (
-            jax.default_backend() != "tpu" if interpret is None else interpret
         )
         self.output = output  # "f32" (eval/parity) | "u8" (serving)
         self.tile = tile  # pixels per tile side
@@ -1060,7 +1107,14 @@ class TileRenderer:
                 [(x - width * 0.5) / fx, -(y - height * 0.5) / fx, -jnp.ones_like(x)],
                 axis=-1,
             )
-            d_world = jnp.einsum("ij,hwj->hwi", c2w[:3, :3], cam_dirs)
+            # precision="highest" is load-bearing: DEFAULT runs this on the
+            # MXU with bf16-truncated inputs (~4e-3 relative), giving every
+            # ray a ~1e-3 pointing error vs the host/march ray gen — whole
+            # boundary pixels land in different cells. Exact f32 here costs
+            # nothing (a 3x3 rotation).
+            d_world = jnp.einsum(
+                "ij,hwj->hwi", c2w[:3, :3], cam_dirs, precision="highest"
+            )
             d_world = tilize(d_world)  # [T, RAYS, 3]
             viewdirs = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
 

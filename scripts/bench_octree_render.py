@@ -86,7 +86,7 @@ def main():
     grid_c = int(os.environ.get("BO_GRID_C", 64))
     tile = int(os.environ.get("BO_TILE", 16))
     runrows = int(os.environ.get("BO_RUNROWS", 128))
-    quantum = int(os.environ.get("BO_QUANTUM", 32))
+    quantum = int(os.environ.get("BO_QUANTUM", 128))
     nbuf = int(os.environ.get("BO_NBUF", 4))
 
     from plenoctree_tpu.octree.renderer import VolumeRenderer
@@ -110,22 +110,38 @@ def main():
     )
     t0 = time.time()
     if which == "tile":
+        from plenoctree_tpu.octree.tile_render import INDEX_FORMAT_VERSION
+
         thr = 1e-2 if fast else 0.0
         # Index build is ~10 min of host preprocessing on the 5.6M-leaf
         # bench tree — cache it across bench invocations (static scene).
-        idx_cache = (
-            f"/tmp/bench_idx_d{depth}_t{thr}_c{grid_c}_r{runrows}_q{quantum}.pkl"
+        # Key carries the index format version (bumped on build_tile_index
+        # layout changes) and a tree fingerprint, so a stale cache can
+        # never be loaded silently (ADVICE r3); values are plain arrays,
+        # so np.savez replaces pickle.
+        cache_dir = os.path.expanduser("~/.cache/plenoctree_bench")
+        os.makedirs(cache_dir, exist_ok=True)
+        fp = f"{tree.n_internal}i{tree.n_leaves}l{tree.data_dim}d"
+        idx_cache = os.path.join(
+            cache_dir,
+            f"idx_v{INDEX_FORMAT_VERSION}_{fp}_t{thr}_c{grid_c}"
+            f"_r{runrows}_q{quantum}.npz",
         )
+        arr_keys = ("soa", "csr", "base", "margin", "blk_bbox", "col_leaf",
+                    "keep_mask")
         index = None
         if os.environ.get("BO_IDX_CACHE", "1") == "1" and os.path.exists(idx_cache):
-            import pickle
+            import json
 
-            with open(idx_cache, "rb") as f:
-                index = pickle.load(f)
             import jax.numpy as jnp
 
+            z = np.load(idx_cache)
+            index = json.loads(str(z["meta_json"]))
+            for k in arr_keys:
+                index[k] = z[k]
             for k in ("soa", "csr", "base", "margin", "blk_bbox"):
                 index[k] = jnp.asarray(index[k])
+            assert index["n_instances"] > 0 and index["soa"].ndim == 2
             print(f"tile index: loaded cache {idx_cache} ({time.time()-t0:.1f}s)")
         rend = TileRenderer(
             tree,
@@ -140,13 +156,17 @@ def main():
             index=index,
         )
         if index is None and os.environ.get("BO_IDX_CACHE", "1") == "1":
-            import pickle
+            import json
 
-            host = dict(rend.index)
-            for k in ("soa", "csr", "base", "margin", "blk_bbox"):
-                host[k] = np.asarray(host[k])
-            with open(idx_cache, "wb") as f:
-                pickle.dump(host, f, protocol=4)
+            host = {k: np.asarray(rend.index[k]) for k in arr_keys}
+            host["meta_json"] = json.dumps(
+                {
+                    k: int(v) if not isinstance(v, (list, str)) else v
+                    for k, v in rend.index.items()
+                    if k not in arr_keys
+                }
+            )
+            np.savez(idx_cache, **host)
             print(f"tile index: cached to {idx_cache}")
         print(
             f"tile renderer: C={grid_c} instances={rend.index['n_instances']}"

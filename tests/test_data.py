@@ -98,6 +98,22 @@ class TestSynthetic:
             batch = next(ds)
         assert batch["pixels"].shape == (16, 3)
 
+    def test_peek_is_nonconsuming_queue_front(self):
+        # Reference semantics (nerf_sh/nerf/datasets.py::peek): repeated
+        # peeks return the SAME batch, and the next __next__ yields it.
+        import numpy as np
+
+        cfg = default_config(dataset="synthetic", batch_size=16, factor=0)
+        for prefetch in (False, True):
+            ds = get_dataset("train", cfg, prefetch=prefetch)
+            a = ds.peek()
+            b = ds.peek()
+            c = next(ds)
+            np.testing.assert_array_equal(a["pixels"], b["pixels"])
+            np.testing.assert_array_equal(a["pixels"], c["pixels"])
+            d = next(ds)  # and the held batch is consumed exactly once
+            assert not np.array_equal(a["pixels"], d["pixels"])
+
 
 class TestBlenderRoundtrip:
     def test_write_and_load(self, tmp_path):
