@@ -647,12 +647,11 @@ def optimize_tree_tiles(
     opt, leaf = build()
 
     def regrow(n_max, nc_max, w1_over):
-        """Returns True if a cap grew (caller must redo the step)."""
+        """Returns True if a cap grew (caller must redo the step).
+        n_max is informational only (the flat-lattice phase 1 never
+        truncates runs)."""
+        del n_max
         grew = False
-        if n_max >= state["rcap"]:
-            state["rcap"] = min(4096, state["rcap"] * 2)
-            h0print(f"** regrowing tile rcap to {state['rcap']}")
-            grew = True
         if nc_max > state["ccap"]:
             state["ccap"] = min(16384, state["ccap"] * 2)
             h0print(f"** regrowing tile ccap to {state['ccap']}")

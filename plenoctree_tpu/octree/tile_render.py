@@ -164,6 +164,14 @@ def build_tile_index(
     # axis-major copy is padded to a 128 multiple so chunk windows stay
     # inside their copy.
     npad = max(-(-n // runrows) * runrows, runrows)
+    if 3 * npad >= 2**24:
+        # Phase 1 moves row ids through one-hot f32 matmuls, which are
+        # integer-exact only below 2^24. A tree this size also implies a
+        # >3.7 GB soa; shard the scene before serving it.
+        raise ValueError(
+            f"tile index too large: 3*npad = {3*npad} >= 2^24 rows; phase-1 "
+            "one-hot matmul compaction would lose integer exactness."
+        )
     fpad = -(-(6 + d_cols) // 8) * 8  # field rows padded to the sublane tile
     soa = np.zeros((fpad, 3 * npad), np.float32)
     csr = np.zeros((3, C * C * c2 + 1), np.int64)
@@ -264,7 +272,7 @@ _GROUP_CORNER_OFF = lambda q: np.array(  # noqa: E731
 
 def _phase1(
     csr, base, margin, blk_bbox, o4, d4, gplanes, span_lo, span_hi, any_hit,
-    grid_c, fine_c2, w1cap, rcap, quantum, ccap,
+    grid_c, fine_c2, w1cap, quantum, ccap,
 ):
     """One tile's candidate row ranges, front-to-back slab order.
 
@@ -280,6 +288,15 @@ def _phase1(
     covered; >0 would silently drop geometry, so the driver regrows w1cap
     and re-renders — ADVICE r2: the sqrt(3) chord bound undersizes the
     window for cameras far outside the volume).
+
+    List surgery here is deliberately searchsorted/gather-free: run lists
+    stay on the FLAT [C * w1cap] (slab, strip) lattice (so there is no
+    run-count cap and nothing ever truncates), holes are bridged with
+    carry-forward scans, compactions are stable sorts, and run->piece
+    expansion is an exact one-hot matmul. vmapped jnp.searchsorted +
+    gather compaction measured ~78 ms per stage at the 800^2 bench scale
+    (the round-3 five-stage pipeline cost 848 ms/frame); the scan/sort
+    formulation is ~100x cheaper on TPU.
     """
     C = grid_c
     min_abs = jnp.min(jnp.abs(d4), axis=0)
@@ -441,24 +458,14 @@ def _phase1(
     flat_start = r_start.reshape(-1)
     flat_len = r_len.reshape(-1)
     flat_mask = r_mask.reshape(-1)
-    flat_valid = flat_len > 0
+    n_total = jnp.sum((flat_len > 0).astype(jnp.int32))
 
-    # Order-preserving compaction via searchsorted on the valid-rank.
-    rank = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
-    n_total = rank[-1] + 1
-    slots = jnp.arange(rcap, dtype=jnp.int32)
-    idx = jnp.clip(jnp.searchsorted(rank, slots, side="left"), 0, rank.shape[0] - 1)
-    ok = slots < jnp.minimum(n_total, rcap)
-    runs_start = jnp.where(ok, flat_start[idx], 0)
-    runs_len = jnp.where(ok, flat_len[idx], 0)
-    runs_mask = jnp.where(ok, flat_mask[idx], 0)
     rev = (jnp.sign(jnp.sum(dp[:, 2])) < 0).astype(jnp.int32)
     runs_start, runs_len, runs_mask, n_merged = _merge_runs(
-        runs_start, runs_len, runs_mask, jnp.minimum(n_total, rcap), rev,
-        quantum, rcap,
+        flat_start, flat_len, flat_mask, rev, quantum
     )
     piece_c0, piece_lo, piece_hi, piece_mask, n_pieces = _expand_pieces(
-        runs_start, runs_len, runs_mask, n_merged, rev, quantum, ccap
+        runs_start, runs_len, runs_mask, rev, quantum, ccap
     )
 
     # Per-piece mask refinement against the STATIC quantum-block bboxes
@@ -476,17 +483,10 @@ def _phase1(
     )
     mask2 = jnp.where(pvalid, piece_mask & bmask, 0)
     keep_p = mask2 > 0
-    prank = jnp.cumsum(keep_p.astype(jnp.int32)) - 1
-    n_kept_p = jnp.maximum(prank[-1] + 1, 0) * jnp.any(keep_p)
-    pslots = jnp.arange(ccap, dtype=jnp.int32)
-    pidx = jnp.clip(
-        jnp.searchsorted(prank, pslots, side="left"), 0, ccap - 1
+    n_kept_p = jnp.sum(keep_p.astype(jnp.int32))
+    piece_c0, piece_lo, piece_hi, piece_mask = _compact_by_flag(
+        keep_p, (piece_c0, piece_lo, piece_hi, mask2)
     )
-    pok = pslots < n_kept_p
-    piece_c0 = jnp.where(pok, piece_c0[pidx], 0)
-    piece_lo = jnp.where(pok, piece_lo[pidx], 0)
-    piece_hi = jnp.where(pok, piece_hi[pidx], 0)
-    piece_mask = jnp.where(pok, mask2[pidx], 0)
     # meta's piece count becomes the post-drop count; the pre-drop count
     # keeps driving ccap regrowth (conservative).
     return (
@@ -501,37 +501,72 @@ def _phase1(
     )
 
 
-def _expand_pieces(runs_start, runs_len, runs_mask, n, rev, quantum, ccap):
+def _compact_by_flag(flag, cols):
+    """Stable front-compaction: entries with flag move to the array front
+    in order; the tail is zero. One batched lax.sort (log^2 compare-
+    exchange passes) — no searchsorted, no gathers."""
+    key = jnp.where(flag, 0, 1).astype(jnp.int32)
+    masked = tuple(jnp.where(flag, c, 0) for c in cols)
+    out = jax.lax.sort((key,) + masked, dimension=-1, is_stable=True, num_keys=1)
+    return out[1:]
+
+
+def _carry_forward(valid, vals):
+    """Inclusive last-valid-value scan: out_i[m] = vals_i[k] for the
+    largest k <= m with valid[k] (vals_i[m] itself where no such k).
+    Also returns the seen-any-valid flag."""
+
+    def op(a, b):
+        a_ok = a[0]
+        b_ok = b[0]
+        out = tuple(jnp.where(b_ok, bv, av) for av, bv in zip(a[1:], b[1:]))
+        return (a_ok | b_ok,) + out
+
+    res = jax.lax.associative_scan(op, (valid,) + tuple(vals))
+    return res[0], res[1:]
+
+
+def _expand_pieces(runs_start, runs_len, runs_mask, rev, quantum, ccap):
     """Flatten merged runs into quantum-aligned DMA piece descriptors.
 
     Moving the window walk out of the kernel lets phase 2 run a deep
     ring-buffer DMA pipeline over a flat list (no per-iteration scalar
     next-run bookkeeping). Pieces are `quantum`-column blocks (quantum <=
-    runrows); the kernel packs runrows/quantum consecutive pieces into one
-    dense VMEM chunk via that many sub-DMAs, so short runs from different
-    (slab, strip) cells share one [RAYS, runrows] compute pass instead of
-    each wasting a mostly-dead 128-column window (measured 1.7x column
-    quant waste at the bench scale). Each descriptor is (c0: aligned
+    runrows, 128-aligned on hardware). Each descriptor is (c0: aligned
     column block start, lo/hi: the owning run's row interval; live rows =
-    block ∩ [lo, hi))."""
+    block ∩ [lo, hi)).
+
+    Input runs live on the flat [M] lattice (invalid slots have len 0,
+    holes allowed). The run->piece placement is an exact one-hot matmul:
+    piece slot p belongs to run m iff cum_excl[m] <= p < cum[m] (the
+    cumulative-piece intervals partition [0, n_pieces)), so a [ccap, M]
+    0/1 matrix times the run-payload columns reproduces the gather —
+    integer-exact in f32 below 2^24 (asserted at build time) and ~100x
+    cheaper than vmapped searchsorted+gather on TPU."""
     s = runs_start
     l = runs_len
     first = (s // quantum) * quantum
     last = ((s + jnp.maximum(l, 1) - 1) // quantum) * quantum
     nck = jnp.where(l > 0, (last - first) // quantum + 1, 0)
     cum = jnp.cumsum(nck)
-    n_pieces = jnp.where(n > 0, cum[-1], 0)
-    slots = jnp.arange(ccap, dtype=jnp.int32)
-    ri = jnp.searchsorted(cum, slots, side="right").astype(jnp.int32)
-    ri = jnp.clip(ri, 0, s.shape[0] - 1)
-    prev = jnp.where(ri > 0, cum[jnp.maximum(ri - 1, 0)], 0)
-    w = slots - prev
-    c0 = jnp.where(rev == 1, last[ri] - w * quantum, first[ri] + w * quantum)
-    ok = slots < jnp.minimum(n_pieces, ccap)
+    cum_excl = cum - nck
+    n_pieces = cum[-1]
+    p = jnp.arange(ccap, dtype=jnp.int32)
+    oh = (
+        (cum_excl[None, :] <= p[:, None]) & (p[:, None] < cum[None, :])
+    ).astype(jnp.float32)  # [ccap, M], exactly one-hot for p < n_pieces
+    cols = jnp.stack(
+        [s, s + l, runs_mask, first, last, cum_excl], axis=1
+    ).astype(jnp.float32)  # [M, 6]
+    # HIGHEST keeps the integer payloads exact (0/1 matrix x <2^24 ints).
+    sel = jnp.einsum("pm,mc->pc", oh, cols, precision="highest").astype(jnp.int32)
+    w = p - sel[:, 5]
+    c0 = jnp.where(rev == 1, sel[:, 4] - w * quantum, sel[:, 3] + w * quantum)
+    ok = p < jnp.minimum(n_pieces, ccap)
     piece_c0 = jnp.where(ok, c0, 0)
-    piece_lo = jnp.where(ok, s[ri], 0)
-    piece_hi = jnp.where(ok, s[ri] + l[ri], 0)
-    piece_mask = jnp.where(ok, runs_mask[ri], 0)
+    piece_lo = jnp.where(ok, sel[:, 0], 0)
+    piece_hi = jnp.where(ok, sel[:, 1], 0)
+    piece_mask = jnp.where(ok, sel[:, 2], 0)
     return (
         piece_c0,
         piece_lo,
@@ -541,7 +576,7 @@ def _expand_pieces(runs_start, runs_len, runs_mask, n, rev, quantum, ccap):
     )
 
 
-def _merge_runs(runs_start, runs_len, runs_mask, n, rev, quantum, rcap):
+def _merge_runs(runs_start, runs_len, runs_mask, rev, quantum):
     """Fuse emission-consecutive runs whose padded DMA windows overlap/abut.
 
     Ranges average well under a DMA window (measured ~1.7x column quant
@@ -556,17 +591,27 @@ def _merge_runs(runs_start, runs_len, runs_mask, n, rev, quantum, rcap):
     for rev=1) so the merged chunk walk preserves front-to-back order;
     ranges are disjoint row intervals, so direction-consistent chains are
     sorted and the pairwise window test equals the chain test.
-    """
+
+    Operates on the FLAT emission lattice: invalid slots (len 0) may be
+    interleaved anywhere; chains bridge the holes via a carry-forward scan
+    of the previous VALID run. Group aggregation is scan/sort-only — a
+    chain's extreme start/end are its FIRST and LAST members, flagged
+    locally and front-compacted with one stable sort; the mask OR is a
+    windowed difference of per-bit prefix sums (no searchsorted, no
+    gathers — both serialize badly on TPU under the per-tile vmap)."""
     s = runs_start
     e = runs_start + runs_len
-    slots = jnp.arange(rcap, dtype=jnp.int32)
-    valid = slots < n
+    M = s.shape[0]
+    valid = runs_len > 0
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
 
     def align(v):
         return (v // quantum) * quantum
 
-    ps = jnp.concatenate([s[:1], s[:-1]])
-    pe = jnp.concatenate([e[:1], e[:-1]])
+    # Previous VALID run's start/end (exclusive carry-forward).
+    _, (cf_s, cf_e) = _carry_forward(valid, (s, e))
+    ps = jnp.concatenate([s[:1], cf_s[:-1]])
+    pe = jnp.concatenate([e[:1], cf_e[:-1]])
     dir_ok = jnp.where(rev == 1, s <= ps, s >= ps)
     # rev=0: chain ascends (cur starts above prev's end) — merge when cur's
     # first window reaches prev's last. rev=1: chain descends (cur ends
@@ -577,31 +622,35 @@ def _merge_runs(runs_start, runs_len, runs_mask, n, rev, quantum, rcap):
         align(ps) <= align(e - 1) + quantum,
         align(s) <= align(pe - 1) + quantum,
     )
-    merge_prev = valid & dir_ok & win_ok & (slots > 0)
-    is_new = valid & ~merge_prev
-    gid = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_merged = jnp.maximum(gid[-1] + 1, 0) * (n > 0)
-    # Gather-only group aggregation (segment_min/max lower to XLA scatters,
-    # which serialize badly on TPU under the per-tile vmap): chains are
-    # monotone in travel direction, so a group's extreme start/end are its
-    # FIRST and LAST members, found by searchsorted on the group ids; the
-    # mask OR is a windowed difference of per-bit prefix sums.
-    gid_q = jnp.where(valid, gid, jnp.int32(2**30))
-    first_idx = jnp.clip(
-        jnp.searchsorted(gid_q, slots, side="left"), 0, rcap - 1
+    merge_prev = valid & dir_ok & win_ok & (rank > 0)
+    is_first = valid & ~merge_prev
+    # is_last: the next VALID run starts a new chain (or there is none).
+    # Reverse carry-forward of merge_prev over valid slots gives, at each
+    # m, merge_prev of the SMALLEST valid index >= m; shift left by one to
+    # make it exclusive (the next valid index > m).
+    nok_r, (nmp_r,) = _carry_forward(
+        valid[::-1], (merge_prev.astype(jnp.int32)[::-1],)
     )
-    last_idx = jnp.clip(
-        jnp.searchsorted(gid_q, slots, side="right") - 1, 0, rcap - 1
+    nxt_ok = jnp.concatenate([nok_r[::-1][1:], jnp.zeros(1, bool)])
+    nxt_mp = jnp.concatenate([nmp_r[::-1][1:], jnp.zeros(1, jnp.int32)])
+    is_last = valid & (~nxt_ok | (nxt_mp == 0))
+    n_merged = jnp.sum(is_first.astype(jnp.int32))
+
+    # Per-bit inclusive prefix sums for the chain mask OR.
+    bit = [(jnp.where(valid, runs_mask, 0) >> b) & 1 for b in range(4)]
+    csum = [jnp.cumsum(b_) for b_ in bit]
+    # k-th is_first and k-th is_last flag the SAME chain (chains are
+    # consecutive in emission order), so two front-compactions line up.
+    f_cols = _compact_by_flag(
+        is_first, (s, e) + tuple(c - b_ for c, b_ in zip(csum, bit))
     )
-    new_s = jnp.where(rev == 1, s[last_idx], s[first_idx])
-    new_e = jnp.where(rev == 1, e[first_idx], e[last_idx])
-    new_mask = jnp.zeros(rcap, jnp.int32)
+    l_cols = _compact_by_flag(is_last, (s, e) + tuple(csum))
+    new_s = jnp.where(rev == 1, l_cols[0], f_cols[0])
+    new_e = jnp.where(rev == 1, f_cols[1], l_cols[1])
+    new_mask = jnp.zeros(M, jnp.int32)
     for b in range(4):
-        bit = jnp.where(valid, (runs_mask >> b) & 1, 0)
-        csum = jnp.cumsum(bit)
-        lo_sum = jnp.where(first_idx > 0, csum[jnp.maximum(first_idx - 1, 0)], 0)
-        new_mask = new_mask + ((csum[last_idx] - lo_sum) > 0) * (2**b)
-    gvalid = slots < n_merged
+        new_mask = new_mask + ((l_cols[2 + b] - f_cols[2 + b]) > 0) * (2**b)
+    gvalid = jnp.arange(M, dtype=jnp.int32) < n_merged
     new_s = jnp.where(gvalid, new_s, 0)
     new_len = jnp.where(gvalid, new_e - new_s, 0)
     new_mask = jnp.where(gvalid, new_mask, 0)
@@ -1081,13 +1130,13 @@ class TileRenderer:
         gc_idx = (
             np.arange(4)[:, None] * Q * Q + _GROUP_CORNER_OFF(Q)[None, :]
         ).reshape(-1)  # [16] quad-group corner ray indices
+        del rcap  # vestigial: the flat-lattice phase 1 never truncates runs
         p1 = jax.vmap(
             functools.partial(
                 _phase1,
                 grid_c=self.grid_c,
                 fine_c2=self.fine_c2,
                 w1cap=w1cap,
-                rcap=rcap,
                 quantum=self.quantum,
                 ccap=ccap,
             ),
@@ -1319,25 +1368,19 @@ class TileRenderer:
         return img, n_max, nc_max, w1_over
 
     def _check_caps(self, n_max, nc_max, w1_over):
-        """Grow rcap/ccap/w1cap on saturation. Returns True if a re-render
-        is needed (the frame dropped geometry)."""
+        """Grow ccap/w1cap on saturation. Returns True if a re-render
+        is needed (the frame dropped geometry). n_max (valid runs per
+        tile) is informational only: the flat-lattice phase 1 has no run
+        cap, so runs never truncate."""
         import warnings
 
+        del n_max
         regrow = False
         if w1_over > 0:
             # Undersized lateral-1 window (camera far outside the volume):
             # phase 1 masked real cells. Regrow exactly and re-render.
             self.w1cap = int(min(self.grid_c, self.w1cap + w1_over))
             regrow = True
-        if n_max > self.rcap:
-            if self.rcap >= 4096:
-                warnings.warn(
-                    f"tile run capacity clipped at {self.rcap} (< {n_max}): "
-                    "frame rendered with truncated geometry"
-                )
-            else:
-                self.rcap = int(min(4096, 2 * self.rcap))
-                regrow = True
         if nc_max > self.ccap:
             if self.ccap >= 16384:
                 warnings.warn(

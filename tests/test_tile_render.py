@@ -99,11 +99,12 @@ class TestMergeRuns:
         return w
 
     @pytest.mark.parametrize("rev", [0, 1])
-    def test_random_runs(self, rev):
+    @pytest.mark.parametrize("holes", [False, True])
+    def test_random_runs(self, rev, holes):
         import jax.numpy as jnp
         from plenoctree_tpu.octree.tile_render import _merge_runs
 
-        rng = np.random.default_rng(11 + rev)
+        rng = np.random.default_rng(11 + rev + 2 * holes)
         runrows, rcap = 128, 64
         for _ in range(25):
             n = int(rng.integers(0, 20))
@@ -122,11 +123,17 @@ class TestMergeRuns:
             s = np.zeros(rcap, np.int32)
             l = np.zeros(rcap, np.int32)
             m = np.zeros(rcap, np.int32)
-            s[:n], l[:n] = starts, lens
-            m[:n] = rng.integers(1, 16, size=n)
+            if holes and n:
+                # Flat-lattice semantics: invalid (len 0) slots may appear
+                # anywhere; chains must bridge them.
+                pos = np.sort(rng.choice(rcap, size=n, replace=False))
+            else:
+                pos = np.arange(n)
+            s[pos], l[pos] = starts, lens
+            m[pos] = rng.integers(1, 16, size=n)
             ms, ml, mm, mn = _merge_runs(
-                jnp.asarray(s), jnp.asarray(l), jnp.asarray(m), jnp.int32(n),
-                jnp.int32(rev), runrows, rcap,
+                jnp.asarray(s), jnp.asarray(l), jnp.asarray(m),
+                jnp.int32(rev), runrows,
             )
             ms, ml, mm, mn = np.asarray(ms), np.asarray(ml), np.asarray(mm), int(mn)
             assert mn <= n
@@ -153,7 +160,7 @@ class TestMergeRuns:
             if mn:
                 assert (mm[:mn] > 0).all()
                 assert np.bitwise_or.reduce(mm[:mn]) == np.bitwise_or.reduce(
-                    m[:n]
+                    m[pos]
                 )
 
 
