@@ -24,16 +24,42 @@ def get_tree(depth=8):
     return t
 
 
+def load_cached_index():
+    """Reuse bench_octree_render's persisted index if present."""
+    import glob as g
+    import json
+
+    import jax.numpy as jnp
+
+    hits = sorted(
+        g.glob(os.path.expanduser("~/.cache/plenoctree_bench/idx_v*_t0.01_c64_*.npz"))
+    )
+    if not hits:
+        return None
+    z = np.load(hits[-1])
+    index = json.loads(str(z["meta_json"]))
+    for k in ("soa", "csr", "base", "margin", "blk_bbox", "col_leaf", "keep_mask"):
+        index[k] = z[k]
+    for k in ("soa", "csr", "base", "margin", "blk_bbox"):
+        index[k] = jnp.asarray(index[k])
+    print(f"loaded cached index {hits[-1]}")
+    return index
+
+
 def main():
     import jax
 
     from plenoctree_tpu.octree.tile_render import TileRenderer
 
     reso = int(os.environ.get("BO_RESO", 800))
+    runrows = int(os.environ.get("BO_RUNROWS", 128))
+    nbuf = int(os.environ.get("BO_NBUF", 4))
     tree = get_tree()
     t0 = time.time()
+    index = load_cached_index() if runrows == 128 else None
     rend = TileRenderer(
-        tree, sigma_thresh=1e-2, stop_thresh=1e-2, grid_c=64, output="u8"
+        tree, sigma_thresh=1e-2, stop_thresh=1e-2, grid_c=64, output="u8",
+        index=index, runrows=runrows, nbuf=nbuf,
     )
     print(f"index build: {time.time()-t0:.1f}s  inst={rend.index['n_instances']}")
     fx = reso * 1.1
