@@ -139,6 +139,41 @@ def overflow_mask(rp, carry, opts, K):
     )
 
 
+def estimate_contrib_slots(tree, sigma_thresh=0.0, floor=64, cap=2048):
+    """Size the contributor-slot count K from tree occupancy up front.
+
+    Sticky regrowth (render_chunk) is correct but pays one full re-march per
+    doubling — a dense volumetric tree walked log2(2048/64)=5 re-renders
+    before settling (VERDICT r3). A ray's contributor count is bounded by
+    the occupied leaves along its line; the max axis-aligned column count
+    at the leaf grid (leaf centers binned at 2^max_depth per axis, max over
+    the three axis projections) predicts it well and costs three bincounts.
+    sqrt(3) covers diagonal rays; rounding up to a power of two keeps the
+    jit shape set tiny and leaves regrowth as the backstop for outliers.
+    """
+    leaves = tree._leaf_nodes()
+    if leaves.shape[0] == 0:
+        return floor
+    sigma = tree.data[leaves[:, 0], leaves[:, 1], leaves[:, 2], leaves[:, 3], -1]
+    keep = sigma > max(float(sigma_thresh), 0.0)
+    if not keep.any():
+        return floor
+    reso = 1 << int(tree.max_depth)
+    corner = tree._cell_corner(leaves[keep])
+    size = tree._cell_size(leaves[keep])
+    ctr = np.clip(((corner + 0.5 * size[:, None]) * reso).astype(np.int64), 0, reso - 1)
+    m = 0
+    for axis in range(3):
+        a, b = (axis + 1) % 3, (axis + 2) % 3
+        cols = np.bincount(ctr[:, a] * reso + ctr[:, b], minlength=reso * reso)
+        m = max(m, int(cols.max()))
+    est = int(np.ceil(np.sqrt(3.0) * m))
+    k = max(floor, K_STRIP)
+    while k < min(est, cap):
+        k *= 2
+    return min(k, cap)
+
+
 def shade(data, cells, dts, count, basis, fmt, basis_dim, bg):
     """Full-K differentiable shading of contributor slots.
 

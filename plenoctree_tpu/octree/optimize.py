@@ -148,7 +148,12 @@ def optimize_tree(
     fmt = tree.data_format.format
     basis_dim = tree.data_format.basis_dim
     rend = TwoPhaseRenderer(
-        arrays, fmt, basis_dim, opts, K=getattr(cfg, "contrib_slots", 0) or 64
+        arrays, fmt, basis_dim, opts,
+        # Upfront K sizing from occupancy stats (march.estimate_contrib_slots)
+        # skips the sticky-regrowth re-march ladder on dense trees; explicit
+        # cfg.contrib_slots still overrides.
+        K=getattr(cfg, "contrib_slots", 0)
+        or march_lib.estimate_contrib_slots(tree, opts.sigma_thresh),
     )
     data = rend.data0
 

@@ -408,7 +408,7 @@ class VolumeRenderer:
         background_brightness=1.0,
         segs_per_pass=48,
         max_segments=None,
-        contrib_slots=64,
+        contrib_slots=None,
         accel_bytes_budget=None,
     ):
         self.tree = tree
@@ -423,6 +423,13 @@ class VolumeRenderer:
         self.basis_dim = tree.data_format.basis_dim
         self.depth_limit = int(tree.max_depth)
         self.segs_per_pass = segs_per_pass
+        if contrib_slots is None:
+            # Upfront K sizing from occupancy columns (VERDICT r3 #10): the
+            # sticky-regrowth backstop stays, but dense volumetric trees no
+            # longer pay a re-march per doubling to find their K.
+            from plenoctree_tpu.octree.march import estimate_contrib_slots
+
+            contrib_slots = estimate_contrib_slots(tree, self.opts.sigma_thresh)
         self.contrib_slots = contrib_slots
         self._deferred = {}
 

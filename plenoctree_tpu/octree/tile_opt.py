@@ -54,11 +54,11 @@ def _tile_bwd_kernel(
     aux_ref,  # (1, RAYS, 4)
     mdir_ref,  # (1, 1, 4)
     basis_ref,  # (1, RAYS, bd)
-    soa_ref,  # [fields, 3*npad] ANY
+    soa_ref,  # blocked [3*npad/quantum, fields, quantum] ANY
     out_ref,  # (1, RAYS, 8) — FORWARD outputs (acc + light)
     g_ref,  # (1, RAYS, 8) — cotangents (g_acc + g_light)
-    gsoa_in_ref,  # [fields, 3*npad] ANY — zero-init grad buffer (aliased)
-    gsoa_ref,  # [fields, 3*npad] ANY — output alias of gsoa_in
+    gsoa_in_ref,  # blocked grad buffer, zero-init (aliased)
+    gsoa_ref,  # blocked grad buffer — output alias of gsoa_in
     buf,  # VMEM (2, fields, runrows)
     state,  # VMEM (RAYS, 8): [cum, pref, pad] — scratch, zeroed per tile
     gacc,  # VMEM (fields, runrows): chunk-local grad accumulator
@@ -94,9 +94,10 @@ def _tile_bwd_kernel(
     sublane = lane % quantum
 
     def piece_dma(p, slot, g):
-        c0 = pl.multiple_of(chunk_c0_ref[0, 0, p], quantum)
+        # Blocked soa [n_blocks, fields, quantum]: one contiguous burst.
+        blk = chunk_c0_ref[0, 0, p] // quantum
         return pltpu.make_async_copy(
-            soa_ref.at[:, pl.ds(c0, quantum)],
+            soa_ref.at[blk],
             buf.at[slot, :, pl.ds(g * quantum, quantum)],
             sem.at[slot, g],
         )
@@ -301,8 +302,8 @@ def _tile_bwd_kernel(
 
             @pl.when(t * G + g < n_pieces)
             def _(g=g):
-                c0 = pl.multiple_of(chunk_c0_ref[0, 0, t * G + g], quantum)
-                gdst = gsoa_ref.at[:, pl.ds(c0, quantum)]
+                blk = chunk_c0_ref[0, 0, t * G + g] // quantum
+                gdst = gsoa_ref.at[blk]
                 gslc = gtmp.at[:, pl.ds(g * quantum, quantum)]
                 # Dedicated semaphore row: rows 0-1 belong to the (possibly
                 # in-flight) piece prefetches of the two ring slots.
@@ -428,8 +429,7 @@ class TileOptimizer:
             return self._bwd_cache[key]
         r = self.r
         RAYS = r.rays
-        fields = int(self.static_soa.shape[0])
-        ncols = int(self.static_soa.shape[1])
+        fields = int(self.static_soa.shape[1])
         kernel = functools.partial(
             _tile_bwd_kernel,
             fmt=r.fmt,
@@ -462,7 +462,7 @@ class TileOptimizer:
                 pl.BlockSpec(memory_space=pl.ANY),  # grad carry (aliased)
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((fields, ncols), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(self.static_soa.shape, jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, fields, r.runrows), jnp.float32),
                 pltpu.VMEM((RAYS, 8), jnp.float32),
@@ -537,13 +537,16 @@ class TileOptimizer:
         idx = r.index
 
         def assemble(leaf_dataT):
-            # [D, n_kept] -> data rows of the soa via one gather (its AD
-            # transpose is the instance->leaf segment-sum).
+            # [D, n_kept] -> data rows of the blocked soa via one gather
+            # (its AD transpose is the instance->leaf segment-sum) + a
+            # block relayout.
             pad = jnp.zeros((self.data_dim, 1), leaf_dataT.dtype)
             dataT = jnp.concatenate([leaf_dataT, pad], axis=1)
             rows = dataT[:, self.col_leaf]  # [D, 3*npad]
+            nb, _, q = self.static_soa.shape
+            blocked = rows.reshape(self.data_dim, nb, q).transpose(1, 0, 2)
             return jax.lax.dynamic_update_slice(
-                self.static_soa, rows, (6, 0)
+                self.static_soa, blocked, (0, 6, 0)
             )
 
         def loss_fn(leaf_dataT, c2w, gt):

@@ -65,7 +65,11 @@ RAYS = TILE * TILE
 RUNROWS = 128  # default instance rows per DMA chunk (must be a multiple of 128)
 # Bump whenever build_tile_index's output layout changes (cache invalidation
 # for persisted indexes, e.g. scripts/bench_octree_render.py).
-INDEX_FORMAT_VERSION = 4
+INDEX_FORMAT_VERSION = 6
+# Axis copies are padded to a fixed COPY_PAD multiple so ONE index serves any
+# runrows <= COPY_PAD (pieces are quantum-column DMAs that never cross a copy
+# boundary; nothing in the layout depends on the kernel's chunk width).
+COPY_PAD = 1024
 
 
 # ---------------------------------------------------------------------------
@@ -158,12 +162,18 @@ def build_tile_index(
     rows[:, 3:6] = box_hi
     rows[:, 6:] = data[inst_leaf]
 
-    # Field-major layout [fields, 3*npad]: the kernel DMAs [fields, 128]
-    # column blocks, whose lane dim is 128-aligned as Mosaic requires; it
-    # also hands coefficient slices to the MXU with no transpose. Each
-    # axis-major copy is padded to a 128 multiple so chunk windows stay
-    # inside their copy.
-    npad = max(-(-n // runrows) * runrows, runrows)
+    # BLOCKED field-major layout [3*npad/quantum, fields, quantum]: each
+    # quantum-column piece is one CONTIGUOUS fields x quantum tile in HBM,
+    # so a piece DMA is a single dense burst instead of `fields` separate
+    # 4*quantum-byte lines strided by the whole table width (the 2D layout's
+    # strided fetch was measured DMA-issue-bound at bench scale). The lane
+    # dim (quantum) is 128-aligned as Mosaic requires, and coefficient rows
+    # still reach the MXU with no transpose. Each axis-major copy is padded
+    # to a COPY_PAD multiple (a multiple of every supported quantum and
+    # runrows), so the SAME index serves any kernel chunking — runrows/
+    # nbuf/tile scans never rebuild the index.
+    del runrows  # layout is chunking-independent (see COPY_PAD)
+    npad = max(-(-n // COPY_PAD) * COPY_PAD, COPY_PAD)
     if 3 * npad >= 2**24:
         # Phase 1 moves row ids through one-hot f32 matmuls, which are
         # integer-exact only below 2^24. A tree this size also implies a
@@ -208,13 +218,18 @@ def build_tile_index(
         blk_bbox[axis * nblk : (axis + 1) * nblk, 3:6] = hi_s.reshape(
             nblk, quantum, 3
         ).max(axis=1)
+    # Host assembly stays row-major (cheap column writes); ship the blocked
+    # [n_blocks, fields, quantum] view to the device.
+    soa3 = np.ascontiguousarray(
+        soa.reshape(fpad, 3 * npad // quantum, quantum).transpose(1, 0, 2)
+    )
     return {
         "col_leaf": col_leaf,
         "n_kept": n_kept,
         "keep_mask": keep,
         "blk_bbox": jnp.asarray(blk_bbox),
         "blk_quantum": quantum,
-        "soa": jnp.asarray(soa),
+        "soa": jnp.asarray(soa3),
         "csr": jnp.asarray(csr.astype(np.int32)),
         "base": jnp.asarray(base.astype(np.int32)),
         "margin": jnp.asarray(margin),
@@ -677,7 +692,7 @@ def _tile_kernel(
     aux_ref,  # (1, RAYS, 4): delta_scale, tmin, tmax, pad
     mdir_ref,  # (1, 1, 4): mean ray dir + pad
     basis_ref,  # (1, RAYS, basis_dim)
-    soa_ref,  # full field-major soa [fields, 3*npad], ANY/HBM
+    soa_ref,  # blocked soa [3*npad/quantum, fields, quantum], ANY/HBM
     out_ref,  # (1, RAYS, 8): rgb(nc) + light + pad
     buf,  # VMEM (NBUF, fields, runrows)
     state,  # VMEM (RAYS, 8): [cum, acc(nc), pad] — scratch, zeroed per tile
@@ -708,9 +723,10 @@ def _tile_kernel(
     sublane = lane % quantum  # offset within each packed piece
 
     def piece_dma(p, slot, g):
-        c0 = pl.multiple_of(piece_c0_ref[0, 0, p], quantum)
+        # Blocked soa [n_blocks, fields, quantum]: one contiguous burst.
+        blk = piece_c0_ref[0, 0, p] // quantum
         return pltpu.make_async_copy(
-            soa_ref.at[:, pl.ds(c0, quantum)],
+            soa_ref.at[blk],
             buf.at[slot, :, pl.ds(g * quantum, quantum)],
             sem.at[slot, g],
         )
@@ -785,6 +801,9 @@ def _tile_kernel(
     state[...] = jnp.zeros(state.shape, jnp.float32)
     gsz = rays // 4
     mm_dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    # Loop-invariant: the decode matmul's ray-side operand never changes.
+    basis_mm_all = basis.astype(mm_dt)
+    ones_mm = ones_col.astype(mm_dt)
 
     def cond(carry):
         t, n_started = carry
@@ -816,8 +835,13 @@ def _tile_kernel(
             cmask = cmask | jnp.where(valid_p, piece_mask_ref[0, 0, p], 0)
 
         # Shared per-chunk work: sigma row and the within-chunk occlusion
-        # precedence mask along the tile's mean direction (MXU).
-        sigma = jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0)  # [1, R]
+        # precedence mask along the tile's mean direction (MXU). Dead lanes
+        # (outside the owning run's row interval) are folded into sigma
+        # once per chunk — a zero-sigma lane contributes neither color nor
+        # attenuation, so the per-group hit test needs no `live` term.
+        sigma = jnp.where(
+            live, jnp.maximum(f[sigma_row : sigma_row + 1, :], 0.0), 0.0
+        )  # [1, R]
         key = (
             0.5
             * (
@@ -865,8 +889,9 @@ def _tile_kernel(
                     tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
                 entry = jnp.maximum(tn, tmin[sl])
                 # Clipped boxes are an exact spatial partition
-                # (build_tile_index): no replica dedup needed.
-                hit = (tf > entry) & (entry <= tmax[sl]) & live
+                # (build_tile_index): no replica dedup needed. Dead lanes
+                # are already sigma-folded (zero contribution either way).
+                hit = (tf > entry) & (entry <= tmax[sl])
                 sdt = jnp.where(
                     hit, sigma * (tf - entry + step_eps) * dscale[sl], 0.0
                 )
@@ -884,7 +909,7 @@ def _tile_kernel(
 
                 # Per-channel decode on the MXU; compositing sums as
                 # dot(X, ones) (MXU) instead of cross-lane reduces.
-                basis_mm = basis[sl].astype(mm_dt)
+                basis_mm = basis_mm_all[sl]
                 for c in range(n_channels):
                     coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
                     raw_c = jax.lax.dot(
@@ -901,7 +926,7 @@ def _tile_kernel(
                     state[sl, 1 + c : 2 + c] = state[sl, 1 + c : 2 + c] + (
                         jax.lax.dot(
                             (contrib * rgb_c).astype(mm_dt),
-                            ones_col.astype(mm_dt),
+                            ones_mm,
                             preferred_element_type=jnp.float32,
                         )
                     )
@@ -910,7 +935,7 @@ def _tile_kernel(
                 # the background unchanged (ADVICE r2).
                 state[sl, 0:1] = cum_g + jax.lax.dot(
                     jnp.where(alive, sdt, 0.0).astype(mm_dt),
-                    ones_col.astype(mm_dt),
+                    ones_mm,
                     preferred_element_type=jnp.float32,
                 )
 
@@ -1036,7 +1061,7 @@ class TileRenderer:
         key = (n_tiles, ccap)
         RAYS = self.rays
         if key not in self._p2_cache:
-            fields = int(self.index["soa"].shape[0])
+            fields = int(self.index["soa"].shape[1])
             od_cap = (
                 -float(np.log(self.opts.stop_thresh))
                 if self.opts.stop_thresh > 0
@@ -1143,28 +1168,39 @@ class TileRenderer:
             in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0),
         )
 
-        def tilize(x):
-            return _tilize(x, hp, wp, TILE)
-
         def tile_inputs(c2w, csr, base, extra_data, blk_bbox):
             # Pinhole rays at the TRUE size (principal point at the true
             # center): edge-pad to the tile grid via clamped pixel coords.
-            px = jnp.minimum(jnp.arange(wp, dtype=jnp.float32), width - 1.0)
-            py = jnp.minimum(jnp.arange(hp, dtype=jnp.float32), height - 1.0)
-            x, y = jnp.meshgrid(px, py, indexing="xy")
+            # Rays are generated DIRECTLY in [T, RAYS] quad-major order from
+            # iotas (the inverse of _untile's pixel mapping) — building an
+            # [hp, wp] image and re-tiling it cost ~25 ms/frame of XLA
+            # transpose/slice traffic at the 800^2 bench scale.
+            tiles_x = wp // TILE
+            Q = TILE // 2
+            t_idx = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
+            r_idx = jnp.arange(RAYS, dtype=jnp.int32)[None, :]
+            qi = r_idx // (Q * Q)
+            rr = r_idx % (Q * Q)
+            y = (t_idx // tiles_x) * TILE + (qi // 2) * Q + rr // Q
+            x = (t_idx % tiles_x) * TILE + (qi % 2) * Q + rr % Q
+            xf = jnp.minimum(x.astype(jnp.float32), width - 1.0)
+            yf = jnp.minimum(y.astype(jnp.float32), height - 1.0)
             cam_dirs = jnp.stack(
-                [(x - width * 0.5) / fx, -(y - height * 0.5) / fx, -jnp.ones_like(x)],
+                [
+                    (xf - width * 0.5) / fx,
+                    -(yf - height * 0.5) / fx,
+                    -jnp.ones_like(xf),
+                ],
                 axis=-1,
-            )
+            )  # [T, RAYS, 3]
             # precision="highest" is load-bearing: DEFAULT runs this on the
             # MXU with bf16-truncated inputs (~4e-3 relative), giving every
             # ray a ~1e-3 pointing error vs the host/march ray gen — whole
             # boundary pixels land in different cells. Exact f32 here costs
             # nothing (a 3x3 rotation).
             d_world = jnp.einsum(
-                "ij,hwj->hwi", c2w[:3, :3], cam_dirs, precision="highest"
-            )
-            d_world = tilize(d_world)  # [T, RAYS, 3]
+                "ij,trj->tri", c2w[:3, :3], cam_dirs, precision="highest"
+            )  # [T, RAYS, 3]
             viewdirs = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
 
             o = jnp.broadcast_to(

@@ -122,13 +122,29 @@ def main():
         cache_dir = os.path.expanduser("~/.cache/plenoctree_bench")
         os.makedirs(cache_dir, exist_ok=True)
         fp = f"{tree.n_internal}i{tree.n_leaves}l{tree.data_dim}d"
+        # The index layout is chunking-independent (COPY_PAD padding), so
+        # runrows/nbuf/tile scans share one cache entry.
         idx_cache = os.path.join(
             cache_dir,
-            f"idx_v{INDEX_FORMAT_VERSION}_{fp}_t{thr}_c{grid_c}"
-            f"_r{runrows}_q{quantum}.npz",
+            f"idx_v{INDEX_FORMAT_VERSION}_{fp}_t{thr}_c{grid_c}_q{quantum}.npz",
         )
         arr_keys = ("soa", "csr", "base", "margin", "blk_bbox", "col_leaf",
                     "keep_mask")
+        # One-time v5 -> v6 upgrade (same content, soa re-blocked): spares
+        # the ~25 min host rebuild when only the layout changed.
+        v5 = idx_cache.replace(f"idx_v{INDEX_FORMAT_VERSION}_", "idx_v5_")
+        if (
+            INDEX_FORMAT_VERSION == 6
+            and not os.path.exists(idx_cache)
+            and os.path.exists(v5)
+        ):
+            z = dict(np.load(v5))
+            soa = z["soa"]
+            z["soa"] = np.ascontiguousarray(
+                soa.reshape(soa.shape[0], -1, quantum).transpose(1, 0, 2)
+            )
+            np.savez(idx_cache, **z)
+            print(f"tile index: upgraded v5 cache -> {idx_cache}")
         index = None
         if os.environ.get("BO_IDX_CACHE", "1") == "1" and os.path.exists(idx_cache):
             import json
@@ -141,7 +157,7 @@ def main():
                 index[k] = z[k]
             for k in ("soa", "csr", "base", "margin", "blk_bbox"):
                 index[k] = jnp.asarray(index[k])
-            assert index["n_instances"] > 0 and index["soa"].ndim == 2
+            assert index["n_instances"] > 0 and index["soa"].ndim == 3
             print(f"tile index: loaded cache {idx_cache} ({time.time()-t0:.1f}s)")
         rend = TileRenderer(
             tree,

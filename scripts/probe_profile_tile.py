@@ -32,7 +32,8 @@ def load_cached_index():
     import jax.numpy as jnp
 
     hits = sorted(
-        g.glob(os.path.expanduser("~/.cache/plenoctree_bench/idx_v*_t0.01_c64_*.npz"))
+        g.glob(os.path.expanduser(
+            "~/.cache/plenoctree_bench/idx_v6_*_t0.01_c64_*.npz"))
     )
     if not hits:
         return None
@@ -56,7 +57,9 @@ def main():
     nbuf = int(os.environ.get("BO_NBUF", 4))
     tree = get_tree()
     t0 = time.time()
-    index = load_cached_index() if runrows == 128 else None
+    # The persisted index is chunking-independent (COPY_PAD): any runrows
+    # reuses it.
+    index = load_cached_index()
     rend = TileRenderer(
         tree, sigma_thresh=1e-2, stop_thresh=1e-2, grid_c=64, output="u8",
         index=index, runrows=runrows, nbuf=nbuf,

@@ -52,7 +52,9 @@ class TestTileIndex:
         C = 16
         idx = build_tile_index(scene_tree, grid_c=C)
         n = idx["n_instances"]
-        soa = np.asarray(idx["soa"])
+        # Blocked soa [blocks, fields, quantum] -> flat field-major view.
+        soa3 = np.asarray(idx["soa"])
+        soa = soa3.transpose(1, 0, 2).reshape(soa3.shape[1], -1)
         lo = soa[0:3, :n].T.astype(np.float64)
         hi = soa[3:6, :n].T.astype(np.float64)
         assert (hi > lo).all()
