@@ -23,9 +23,10 @@ def eval_octree(tree, dataset, cfg, want_lpips=True, want_frames=False):
     # Metrics default to the exact march oracle (per-ray hit ordering, svox
     # semantics); --fast_eval opts into the Pallas tile renderer — the
     # serving path, whose within-chunk ordering is mean-direction
-    # approximate (fine for FPS, not for reported PSNR). NDC rays always
-    # march (per-ray origins break the tile-frustum hull).
-    if ndc_config is None and getattr(cfg, "fast_eval", False):
+    # approximate (fine for FPS, not for reported PSNR). NDC scenes serve
+    # through the same path (TileRenderer(ndc=...): on-device NDC ray
+    # conversion; quad-group masks go conservative).
+    if getattr(cfg, "fast_eval", False):
         import jax
         from plenoctree_tpu.octree.tile_render import TileRenderer
 
@@ -43,6 +44,7 @@ def eval_octree(tree, dataset, cfg, want_lpips=True, want_frames=False):
             sigma_thresh=thr,
             stop_thresh=thr,
             mesh=mesh,
+            ndc=ndc_config,
         )
 
         def render(c2w):

@@ -94,7 +94,10 @@ def march_while(tables, rp, carry, meta, opts, cap):
         cell, corner, size = _locate(tables, meta, pos)
         sigma = jnp.maximum(sigma_tab[cell], 0.0)
 
-        far_planes = corner + (dn > 0) * size[..., None]
+        # safe_dn, not dn: zero components substitute +1e-9, and (dn > 0)
+        # would pick the near plane for them — exactly-axis-aligned rays
+        # (NDC center rays) would crawl at step_size (renderer.py note).
+        far_planes = corner + (safe_dn > 0) * size[..., None]
         t_exit = jnp.min((far_planes - pos) / safe_dn, axis=-1)
         delta_t = jnp.maximum(t_exit, 0.0) + opts.step_size
 
@@ -140,33 +143,56 @@ def overflow_mask(rp, carry, opts, K):
 
 
 def estimate_contrib_slots(tree, sigma_thresh=0.0, floor=64, cap=2048):
-    """Size the contributor-slot count K from tree occupancy up front.
+    """Size the contributor-slot count K from tree statistics up front.
 
     Sticky regrowth (render_chunk) is correct but pays one full re-march per
     doubling — a dense volumetric tree walked log2(2048/64)=5 re-renders
-    before settling (VERDICT r3). A ray's contributor count is bounded by
-    the occupied leaves along its line; the max axis-aligned column count
-    at the leaf grid (leaf centers binned at 2^max_depth per axis, max over
-    the three axis projections) predicts it well and costs three bincounts.
-    sqrt(3) covers diagonal rays; rounding up to a power of two keeps the
-    jit shape set tiny and leaves regrowth as the backstop for outliers.
+    before settling (VERDICT r3). A ray stops filling slots when it leaves
+    the volume OR saturates (alive_mask: light <= max(stop_thresh, 1e-4)),
+    so the bound is the number of occupied cells along a line UNTIL the
+    cumulative optical depth reaches -log(1e-4): occupancy alone wildly
+    overestimates opaque scenes (a dense extracted tree saturates in tens
+    of cells; counting its whole column said 2048 and OOMed the optimizer).
+    Estimated per axis-aligned column at the leaf grid (centers binned at
+    2^max_depth, depth-ordered cumsum of sigma * world cell size), max over
+    the three axes, x sqrt(3) for diagonals; power-of-two rounding keeps
+    the jit shape set tiny, and regrowth stays as the backstop.
     """
     leaves = tree._leaf_nodes()
     if leaves.shape[0] == 0:
         return floor
-    sigma = tree.data[leaves[:, 0], leaves[:, 1], leaves[:, 2], leaves[:, 3], -1]
+    sigma = tree.data[
+        leaves[:, 0], leaves[:, 1], leaves[:, 2], leaves[:, 3], -1
+    ].astype(np.float64)
     keep = sigma > max(float(sigma_thresh), 0.0)
     if not keep.any():
         return floor
     reso = 1 << int(tree.max_depth)
     corner = tree._cell_corner(leaves[keep])
-    size = tree._cell_size(leaves[keep])
-    ctr = np.clip(((corner + 0.5 * size[:, None]) * reso).astype(np.int64), 0, reso - 1)
+    size = tree._cell_size(leaves[keep]).astype(np.float64)
+    sigma = np.maximum(sigma[keep], 0.0)
+    ctr = np.clip(
+        ((corner + 0.5 * size[:, None]) * reso).astype(np.int64), 0, reso - 1
+    )
+    # World length of a cell crossing: tree fraction / invradius (per-axis
+    # scalar; exactness doesn't matter, the saturation cap has headroom).
+    scale = float(np.max(1.0 / np.asarray(tree.invradius, np.float64)))
+    od_cap = -np.log(1e-4)  # alive_mask's hard light floor
     m = 0
     for axis in range(3):
         a, b = (axis + 1) % 3, (axis + 2) % 3
-        cols = np.bincount(ctr[:, a] * reso + ctr[:, b], minlength=reso * reso)
-        m = max(m, int(cols.max()))
+        col = ctr[:, a] * reso + ctr[:, b]
+        order = np.lexsort((ctr[:, axis], col))
+        col_s = col[order]
+        contrib = (sigma * size * scale)[order]
+        cum = np.cumsum(contrib)
+        excl = cum - contrib
+        starts = np.nonzero(np.r_[True, col_s[1:] != col_s[:-1]])[0]
+        seg_id = np.cumsum(np.r_[False, col_s[1:] != col_s[:-1]])
+        base = excl[starts][seg_id]
+        within = excl - base < od_cap
+        counts = np.bincount(seg_id, weights=within)
+        m = max(m, int(counts.max()))
     est = int(np.ceil(np.sqrt(3.0) * m))
     k = max(floor, K_STRIP)
     while k < min(est, cap):

@@ -181,6 +181,14 @@ def optimize_tree(
         h0print(f"** regrowing march contributor slots to K={rend.K}")
         return True
 
+    def eff_chunk():
+        # Bound rays x K per dispatch: the differentiable shade gathers
+        # [chunk, K, data_dim] rows and its backward keeps several
+        # same-scale residuals — at K=2048 a full 16k-ray image is ~7 GB
+        # and OOMs a 16 GB chip. 16384x256 slot-rows (~220 MB gathered)
+        # leaves headroom for the data grads at 15M+ leaves.
+        return min(chunk, max(2048, (16384 * 256) // max(rend.K, 1)))
+
     def run_test():
         while True:
             tpsnr = 0.0
@@ -188,8 +196,9 @@ def optimize_tree(
             for c2w, gt in zip(test_c2w, test_gt):
                 o, d = _image_rays(c2w, h, w, focal, ndc)
                 outs = []
-                for i in range(0, o.shape[0], chunk):
-                    oo, dd = _pad_chunk(o, d, i, chunk)
+                ck = eff_chunk()
+                for i in range(0, o.shape[0], ck):
+                    oo, dd = _pad_chunk(o, d, i, ck)
                     rgb, ov = rend.render(data, oo, dd)
                     outs.append(np.asarray(rgb))
                     overflow = ov if overflow is None else overflow | ov
@@ -205,7 +214,7 @@ def optimize_tree(
     h0print("** initial val psnr", best_psnr)
     best_data = None
     ray_rng = np.random.default_rng(20200823)
-    ones = jnp.ones((chunk, 1), jnp.float32)
+    ones_cache = {}
     for epoch in range(num_epochs):
         tpsnr = 0.0
         for c2w, gt in host0_tqdm(list(zip(train_c2w, train_gt))):
@@ -218,16 +227,19 @@ def optimize_tree(
                 sq_total = None
                 grad_acc = None
                 overflow = None
-                for i in range(0, o.shape[0], chunk):
-                    oo, dd = _pad_chunk(o, d, i, chunk)
-                    gg = jnp.asarray(_pad_rows(gtf[i : i + chunk], chunk))
-                    n_real = min(chunk, o.shape[0] - i)
-                    if n_real < chunk:
-                        mask = np.zeros((chunk, 1), np.float32)
+                ck = eff_chunk()
+                if ck not in ones_cache:
+                    ones_cache[ck] = jnp.ones((ck, 1), jnp.float32)
+                for i in range(0, o.shape[0], ck):
+                    oo, dd = _pad_chunk(o, d, i, ck)
+                    gg = jnp.asarray(_pad_rows(gtf[i : i + ck], ck))
+                    n_real = min(ck, o.shape[0] - i)
+                    if n_real < ck:
+                        mask = np.zeros((ck, 1), np.float32)
                         mask[:n_real] = 1.0
                         mask = jnp.asarray(mask)
                     else:
-                        mask = ones
+                        mask = ones_cache[ck]
                     sq, g, ov = rend.loss_grad(data, oo, dd, gg, mask)
                     # Device-side accumulation: no host sync inside the loop.
                     sq_total = sq if sq_total is None else sq_total + sq

@@ -339,8 +339,12 @@ def _make_step(arrays, rp, fmt, basis_dim, depth_limit, opts):
         pos = jnp.clip(o + t[..., None] * dn, 0.0, 1.0 - 1e-7)
         cell, corner, size = _locate(tables, meta, pos)
 
-        # Distance to the leaf cube's exit plane along the ray.
-        far_planes = corner + (dn > 0) * size[..., None]
+        # Distance to the leaf cube's exit plane along the ray. Keyed off
+        # safe_dn, NOT dn: a zero component substitutes +1e-9 in safe_dn,
+        # and (dn > 0) would pick the near plane for it — t_exit collapses
+        # to ~0 and exactly-axis-aligned rays (every NDC center ray)
+        # crawl at step_size and composite nothing.
+        far_planes = corner + (safe_dn > 0) * size[..., None]
         t_exit = jnp.min((far_planes - pos) / safe_dn, axis=-1)
         delta_t = jnp.maximum(t_exit, 0.0) + opts.step_size
 

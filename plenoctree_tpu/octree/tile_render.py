@@ -987,8 +987,16 @@ class TileRenderer:
         tile=TILE,
         mesh=None,
         index=None,
+        ndc=None,
     ):
         self.tree = tree
+        # LLFF forward-facing serving (reference octree/optimization.py:
+        # 170-173 NDCConfig): rays are converted to NDC on device before the
+        # tree-space transform. NDC rays keep straight lines (the transform
+        # is projective), so phase 1's per-corner hull walk stays exact; the
+        # quad-group frusta lose their shared apex, so group masks go
+        # conservative (all groups on) — see make_tile_inputs_fn.
+        self.ndc = ndc
         self.opts = RenderOptions(
             step_size=step_size,
             background_brightness=background_brightness,
@@ -1201,15 +1209,48 @@ class TileRenderer:
             d_world = jnp.einsum(
                 "ij,trj->tri", c2w[:3, :3], cam_dirs, precision="highest"
             )  # [T, RAYS, 3]
-            viewdirs = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
-
-            o = jnp.broadcast_to(
-                c2w[:3, 3] * self.invradius + self.offset, d_world.shape
-            )
+            if self.ndc is not None:
+                # Device mirror of data/rays.py::convert_to_ndc (near=1):
+                # shift to the near plane, project. Origins become per-ray.
+                ow = jnp.broadcast_to(c2w[:3, 3], d_world.shape)
+                tshift = -(1.0 + ow[..., 2]) / d_world[..., 2]
+                ow = ow + tshift[..., None] * d_world
+                fx2w = 2.0 * self.ndc["focal"] / self.ndc["width"]
+                fy2h = 2.0 * self.ndc["focal"] / self.ndc["height"]
+                oz = ow[..., 2]
+                o0 = -fx2w * ow[..., 0] / oz
+                o1 = -fy2h * ow[..., 1] / oz
+                o2 = 1.0 + 2.0 / oz
+                d0 = -fx2w * (d_world[..., 0] / d_world[..., 2] - ow[..., 0] / oz)
+                d1 = -fy2h * (d_world[..., 1] / d_world[..., 2] - ow[..., 1] / oz)
+                d2 = -2.0 / oz
+                o_space = jnp.stack([o0, o1, o2], axis=-1)
+                d_world = jnp.stack([d0, d1, d2], axis=-1)
+                viewdirs = d_world / jnp.linalg.norm(
+                    d_world, axis=-1, keepdims=True
+                )
+                o = o_space * self.invradius + self.offset  # per-ray
+            else:
+                viewdirs = d_world / jnp.linalg.norm(
+                    d_world, axis=-1, keepdims=True
+                )
+                o = jnp.broadcast_to(
+                    c2w[:3, 3] * self.invradius + self.offset, d_world.shape
+                )
             d = viewdirs * self.invradius
             delta_scale = 1.0 / jnp.linalg.norm(d, axis=-1)
             dn = d * delta_scale[..., None]
-            safe_dn = jnp.where(jnp.abs(dn) < 1e-9, 1e-9, dn)
+            # Floor at 1e-6 (sign-preserving), NOT 1e-9: the kernel's slab
+            # test runs in FMA form (box*invd - o*invd), which cancels
+            # catastrophically in f32 when invd ~ 1e9 (exactly-axis-aligned
+            # rays — every NDC ray of a fronto-parallel camera) — measured
+            # ±60 t-units of error, breaking hit tests outright. At
+            # invd <= 1e6 the error is ~1e-3 t-units, and a ray with
+            # |dn| < 1e-6 drifts < 2e-6 laterally across the whole unit
+            # box (¼00 of a max-depth cell), so inclusion semantics hold.
+            safe_dn = jnp.where(
+                jnp.abs(dn) < 1e-6, jnp.where(dn < 0, -1e-6, 1e-6), dn
+            )
             invd = 1.0 / safe_dn
             t0 = (0.0 - o) * invd
             t1 = (1.0 - o) * invd
@@ -1231,24 +1272,32 @@ class TileRenderer:
             # mean direction. Conservative by construction: a hittable
             # box is inside every half-space, so a cleared mask bit can
             # only be a true miss.
-            gdirs = dn[:, gc_idx].reshape(n_tiles, 4, 4, 3)
-            A, B, Cq, D = (gdirs[:, :, k] for k in range(4))
-            nrm = jnp.stack(
-                [
-                    jnp.cross(A, B),
-                    jnp.cross(B, D),
-                    jnp.cross(D, Cq),
-                    jnp.cross(Cq, A),
-                ],
-                axis=2,
-            )  # [T, 4 groups, 4 planes, 3]
-            dmean_g = jnp.mean(gdirs, axis=2)
-            sgn_n = jnp.sign(
-                jnp.sum(nrm * dmean_g[:, :, None, :], axis=-1, keepdims=True)
-            )
-            nrm = nrm * jnp.where(sgn_n == 0, 1.0, sgn_n)
-            nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
-            gplanes = nrm.reshape(n_tiles, 16, 3)
+            if self.ndc is not None:
+                # NDC rays do not share an origin, so the apex-cone plane
+                # test below is unsound; zero normals make every half-space
+                # test pass — masks stay conservative (all groups active).
+                gplanes = jnp.zeros((n_tiles, 16, 3), jnp.float32)
+            else:
+                gdirs = dn[:, gc_idx].reshape(n_tiles, 4, 4, 3)
+                A, B, Cq, D = (gdirs[:, :, k] for k in range(4))
+                nrm = jnp.stack(
+                    [
+                        jnp.cross(A, B),
+                        jnp.cross(B, D),
+                        jnp.cross(D, Cq),
+                        jnp.cross(Cq, A),
+                    ],
+                    axis=2,
+                )  # [T, 4 groups, 4 planes, 3]
+                dmean_g = jnp.mean(gdirs, axis=2)
+                sgn_n = jnp.sign(
+                    jnp.sum(nrm * dmean_g[:, :, None, :], axis=-1, keepdims=True)
+                )
+                nrm = nrm * jnp.where(sgn_n == 0, 1.0, sgn_n)
+                nrm = nrm / (
+                    jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12
+                )
+                gplanes = nrm.reshape(n_tiles, 16, 3)
 
             (
                 chunk_c0, chunk_lo, chunk_hi, chunk_mask, n_kept_p,

@@ -200,6 +200,34 @@ class TestTileVsOracle:
         ref = np.clip(vr.render_persp(c2ws[0], 40, 40, focal), 0, 1)
         assert _psnr(np.clip(out, 0, 1), ref) > 45.0
 
+    def test_ndc_matches_march(self, scene_tree):
+        """LLFF serving path (VERDICT r3 #5): NDC rays through the tile
+        renderer agree with the march oracle's NDC mode (reference:
+        octree/optimization.py:170-173 NDCConfig through svox)."""
+        from plenoctree_tpu.octree.renderer import make_ndc_config
+
+        w = h = 32
+        focal = 40.0
+        ndc = make_ndc_config(w, h, focal)
+        # Near-forward-facing cameras (the LLFF regime): identity plus a
+        # small off-axis tilt/offset.
+        c2ws = []
+        for dx, ang in ((0.0, 0.0), (0.15, 0.06)):
+            c2w = np.eye(4, dtype=np.float32)
+            c, s = np.cos(ang), np.sin(ang)
+            c2w[:3, :3] = np.array(
+                [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32
+            )
+            c2w[0, 3] = dx
+            c2ws.append(c2w)
+        vr = VolumeRenderer(scene_tree, step_size=1e-4, ndc=ndc)
+        tr = TileRenderer(scene_tree, step_size=1e-4, grid_c=16, ndc=ndc)
+        for c2w in c2ws:
+            ref = np.clip(vr.render_persp(c2w, h, w, focal), 0, 1)
+            out = np.clip(tr.render_persp(c2w, h, w, focal), 0, 1)
+            psnr = _psnr(out, ref)
+            assert psnr > 40.0, f"NDC tile vs march oracle PSNR {psnr:.2f}"
+
     def test_tile32_and_u8_output(self, scene_tree):
         images, c2ws, focal = render_synthetic_scene("test", 1, 64, True, 2.0, 6.0)
         vr = VolumeRenderer(scene_tree, step_size=1e-4)
