@@ -385,6 +385,7 @@ class TileOptimizer:
             None if tree.extra_data is None else jnp.asarray(tree.extra_data)
         )
         r.interpret = interp
+        r.ndc = None  # svox parity: tile_opt serves pinhole scenes only
         r.output = "f32"
         r.tile = tile
         r.rays = tile * tile

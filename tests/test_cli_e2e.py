@@ -50,7 +50,10 @@ def _run(args, timeout=900):
     env.pop("PYTEST_CURRENT_TEST", None)
     env.update(
         {
+            # The axon sitecustomize overrides JAX_PLATFORMS at interpreter
+            # startup; PLENOCTREE_PLATFORM wins via jax.config (package init).
             "JAX_PLATFORMS": "cpu",
+            "PLENOCTREE_PLATFORM": "cpu",
             "XLA_FLAGS": "",  # single CPU device per subprocess (fastest)
             # Shared persistent jit cache: the march/shade ladder costs
             # minutes of CPU compiles per process; scene_b and re-runs
