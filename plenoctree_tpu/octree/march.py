@@ -167,7 +167,11 @@ def estimate_contrib_slots(tree, sigma_thresh=0.0, floor=64, cap=2048):
     keep = sigma > max(float(sigma_thresh), 0.0)
     if not keep.any():
         return floor
-    reso = 1 << int(tree.max_depth)
+    # Finest cell side is (1/N)**(max_depth+1) (n3tree._cell_size), so the
+    # grid that gives every max-depth leaf a unique bin is N**(max_depth+1);
+    # binning at N**max_depth merged 2x2 lateral columns and quadrupled
+    # per-column counts (ADVICE r4).
+    reso = int(tree.N) ** (int(tree.max_depth) + 1)
     corner = tree._cell_corner(leaves[keep])
     size = tree._cell_size(leaves[keep]).astype(np.float64)
     sigma = np.maximum(sigma[keep], 0.0)
@@ -185,14 +189,22 @@ def estimate_contrib_slots(tree, sigma_thresh=0.0, floor=64, cap=2048):
         order = np.lexsort((ctr[:, axis], col))
         col_s = col[order]
         contrib = (sigma * size * scale)[order]
-        cum = np.cumsum(contrib)
-        excl = cum - contrib
-        starts = np.nonzero(np.r_[True, col_s[1:] != col_s[:-1]])[0]
-        seg_id = np.cumsum(np.r_[False, col_s[1:] != col_s[:-1]])
-        base = excl[starts][seg_id]
-        within = excl - base < od_cap
-        counts = np.bincount(seg_id, weights=within)
-        m = max(m, int(counts.max()))
+        starts_mask = np.r_[True, col_s[1:] != col_s[:-1]]
+        seg_id = np.cumsum(starts_mask) - 1
+        # A ray can traverse the column in either direction; an asymmetric
+        # density profile saturates later when entered from the thin end, so
+        # count the unsaturated prefix both ascending and descending and take
+        # the max (ADVICE r4).
+        for c in (contrib, contrib[::-1]):
+            sid = seg_id if c is contrib else seg_id[::-1]
+            # Per-direction exclusive cumsum rebased to each segment start.
+            cum = np.cumsum(c)
+            excl = cum - c
+            smask = np.r_[True, sid[1:] != sid[:-1]]
+            base = excl[np.nonzero(smask)[0]][np.cumsum(smask) - 1]
+            within = excl - base < od_cap
+            counts = np.bincount(sid, weights=within)
+            m = max(m, int(counts.max()))
     est = int(np.ceil(np.sqrt(3.0) * m))
     k = max(floor, K_STRIP)
     while k < min(est, cap):

@@ -131,12 +131,24 @@ def main():
         arr_keys = ("soa", "csr", "base", "margin", "blk_bbox", "col_leaf",
                     "keep_mask")
         # One-time v5 -> v6 upgrade (same content, soa re-blocked): spares
-        # the ~25 min host rebuild when only the layout changed.
-        v5 = idx_cache.replace(f"idx_v{INDEX_FORMAT_VERSION}_", "idx_v5_")
+        # the ~25 min host rebuild when only the layout changed. v5 names
+        # carried a _r{runrows} segment the v6 key dropped, so glob for any
+        # runrows variant (ADVICE r4). NOTE: a v5 index is padded to runrows
+        # multiples rather than COPY_PAD; fine for quantum=128 piece DMAs.
+        import glob as _glob
+
+        v5_hits = sorted(
+            _glob.glob(
+                os.path.join(
+                    cache_dir, f"idx_v5_{fp}_t{thr}_c{grid_c}_r*_q{quantum}.npz"
+                )
+            )
+        )
+        v5 = v5_hits[-1] if v5_hits else ""
         if (
             INDEX_FORMAT_VERSION == 6
             and not os.path.exists(idx_cache)
-            and os.path.exists(v5)
+            and v5
         ):
             z = dict(np.load(v5))
             soa = z["soa"]

@@ -31,9 +31,12 @@ def load_cached_index():
 
     import jax.numpy as jnp
 
+    from plenoctree_tpu.octree.tile_render import INDEX_FORMAT_VERSION
+
     hits = sorted(
         g.glob(os.path.expanduser(
-            "~/.cache/plenoctree_bench/idx_v6_*_t0.01_c64_*.npz"))
+            f"~/.cache/plenoctree_bench/idx_v{INDEX_FORMAT_VERSION}_"
+            "*_t0.01_c64_*.npz"))
     )
     if not hits:
         return None
@@ -43,6 +46,7 @@ def load_cached_index():
         index[k] = z[k]
     for k in ("soa", "csr", "base", "margin", "blk_bbox"):
         index[k] = jnp.asarray(index[k])
+    assert index["n_instances"] > 0 and index["soa"].ndim == 3
     print(f"loaded cached index {hits[-1]}")
     return index
 
