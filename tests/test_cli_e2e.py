@@ -152,6 +152,85 @@ def test_task_manager_fleet(tiny_ckpt, tmp_path):
 
 
 @pytest.mark.slow
+def test_llff_ndc_pipeline(tmp_path):
+    """LLFF-format scene through train -> extract -> optimize -> evaluate
+    with NDC active at every stage (VERDICT r4 #5).
+
+    NDC is keyed off 'llff' in the --config path, matching the reference
+    (octree/optimization.py:170-173); evaluation runs BOTH the exact march
+    (reported metrics) and --fast_eval (the Pallas tile renderer's NDC
+    branch, reference serving path svox render_persp + NDCConfig).
+    """
+    from plenoctree_tpu.data.synthetic import write_llff_dataset
+
+    data = str(tmp_path / "llff_scene")
+    tdir = str(tmp_path / "train")
+    write_llff_dataset(data, n_views=10, resolution=32)
+    cfg_yaml = tmp_path / "llff_tiny.yaml"
+    cfg_yaml.write_text(
+        "dataset: llff\nllffhold: 5\nfactor: 0\nwhite_bkgd: false\n"
+    )
+    model = [
+        "--config", str(cfg_yaml),
+        "--num_coarse_samples", "8",
+        "--num_fine_samples", "8",
+        "--net_depth", "2",
+        "--net_width", "32",
+        "--sh_deg", "1",
+        "--nouse_viewdirs",
+    ]
+    _run(
+        ["nerf_sh.train", "--data_dir", data, "--train_dir", tdir,
+         "--batch_size", "128", "--image_batching", "--max_steps", "60",
+         "--print_every", "30", "--save_every", "60", "--render_every", "120",
+         "--lr_init", "2e-3", "--chunk", "1024", "--sparsity_npoints", "64"]
+        + model
+    )
+    tree = osp.join(tdir, "tree.npz")
+    out = _run(
+        ["octree.extraction", "--data_dir", data, "--train_dir", tdir,
+         "--output", tree, "--init_grid_depth", "4", "--samples_per_cell", "3",
+         "--renderer_step_size", "1e-3",
+         # NDC device coords: the warped frustum spans [-1, 1]^3.
+         "--center", "0 0 0", "--radius", "1.05"]
+        + model
+    )
+    assert osp.exists(tree)
+    raw_psnr = float(out.split("Average PSNR")[-1].split()[0])
+    assert math.isfinite(raw_psnr) and raw_psnr > 5.0, out[-2000:]
+
+    tree_opt = osp.join(tdir, "tree_opt.npz")
+    _run(
+        ["octree.optimization", "--input", tree, "--data_dir", data,
+         "--train_dir", tdir, "--output", tree_opt, "--num_epochs", "1",
+         "--renderer_step_size", "1e-3"]
+        + model,
+        timeout=1800,
+    )
+    best = tree_opt if osp.exists(tree_opt) else tree
+
+    out_march = _run(
+        ["octree.evaluation", "--input", best, "--data_dir", data,
+         "--train_dir", tdir, "--renderer_step_size", "1e-3"] + model
+    )
+    psnr_march = float(out_march.split("Average PSNR")[-1].split()[0])
+    assert math.isfinite(psnr_march) and psnr_march > 5.0, out_march[-2000:]
+
+    out_tile = _run(
+        ["octree.evaluation", "--input", best, "--data_dir", data,
+         "--train_dir", tdir, "--renderer_step_size", "1e-3", "--fast_eval"]
+        + model
+    )
+    psnr_tile = float(out_tile.split("Average PSNR")[-1].split()[0])
+    # The tile renderer is the serving path (within-chunk ordering is
+    # mean-direction approximate); it must land near the exact march.
+    assert math.isfinite(psnr_tile) and abs(psnr_tile - psnr_march) < 1.5, (
+        f"NDC tile serving {psnr_tile:.2f} dB vs march {psnr_march:.2f} dB\n"
+        + out_tile[-2000:]
+    )
+
+
+@pytest.mark.slow
 def test_gen_video_smoke(tiny_ckpt, tmp_path):
     poses_file = str(tmp_path / "poses.txt")
     _run(

@@ -179,6 +179,52 @@ class TestTileOpt:
         assert best_tree is not None
         assert best_psnr > psnr0 + 2.0, (psnr0, best_psnr)
 
+    def test_grads_match_march_oracle(self, setup):
+        """Per-field cosine vs the march optimizer's gradient (VERDICT r4 #4:
+        previously a prose claim). The two paths differ in within-chunk hit
+        ordering (tile: mean-direction precedence; march: exact per-ray), so
+        the pin is cosine >= 0.98 per field, not bitwise."""
+        from plenoctree_tpu.data.rays import generate_rays
+        from plenoctree_tpu.octree import march as march_lib
+        from plenoctree_tpu.octree import renderer as renderer_lib
+        from plenoctree_tpu.octree.optimize import TwoPhaseRenderer
+
+        tree, opt, leaf, c2w, gt = setup
+        (_, _), g_tileT = opt.loss_and_grad(leaf, c2w, gt, H, W, FX)
+        g_tile = np.asarray(g_tileT).T  # [n_kept, D]
+
+        arrays = renderer_lib.tree_arrays(tree)
+        opts = renderer_lib.RenderOptions(
+            step_size=1e-3,
+            max_segments=renderer_lib.default_max_segments(tree),
+        )
+        rend = TwoPhaseRenderer(
+            arrays, tree.data_format.format, tree.data_format.basis_dim,
+            opts, K=march_lib.estimate_contrib_slots(tree),
+        )
+        rays = generate_rays(W, H, FX, np.asarray(c2w)[None])
+        o = rays.origins.reshape(-1, 3).astype(np.float32)
+        d = rays.directions.reshape(-1, 3).astype(np.float32)
+        mask = np.ones((o.shape[0], 1), np.float32)
+        _, g_tab, _ = rend.loss_grad(
+            rend.data0, o, d, jnp.asarray(gt.reshape(-1, 3)), jnp.asarray(mask)
+        )
+        leaves = tree._leaf_nodes()[np.asarray(opt.r.index["keep_mask"])]
+        N = tree.N
+        rows = (
+            (leaves[:, 0] * N + leaves[:, 1]) * N + leaves[:, 2]
+        ) * N + leaves[:, 3]
+        g_march = np.asarray(g_tab)[rows]
+
+        def cos(a, b):
+            a, b = a.ravel().astype(np.float64), b.ravel().astype(np.float64)
+            return float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-30))
+
+        c_sigma = cos(g_tile[:, -1], g_march[:, -1])
+        c_color = cos(g_tile[:, :-1], g_march[:, :-1])
+        assert c_sigma > 0.98, f"sigma grad cosine {c_sigma:.4f}"
+        assert c_color > 0.98, f"color grad cosine {c_color:.4f}"
+
     def test_write_back_round_trip(self, setup):
         tree, opt, leaf, c2w, gt = setup
         t2 = tree.clone()
