@@ -62,6 +62,7 @@ def pack_params(params, skip_layer=4, posenc=None):
         posenc=posenc,
         x_dim=3 if posenc else d_in,
         n_sigma=kernels[depth].shape[1],
+        sh_dim=0,
     )
     flat = []
     for i in range(depth):
@@ -119,16 +120,41 @@ def _fwd_tile(refs_w, x, meta, save_acts=False):
 def _make_fwd_kernel(meta):
     depth = meta["depth"]
     ns = meta["n_sigma"]
+    sh_dim = meta.get("sh_dim", 0)
 
     def kernel(*refs):
         x_ref = refs[0]
-        refs_w = refs[1 : 1 + 2 * (depth + 1)]
-        sigma_ref = refs[1 + 2 * (depth + 1)]
-        rgb_ref = refs[2 + 2 * (depth + 1)]
+        i = 1
+        basis_ref = None
+        if sh_dim:
+            basis_ref = refs[i]
+            i += 1
+        refs_w = refs[i : i + 2 * (depth + 1)]
+        sigma_ref = refs[i + 2 * (depth + 1)]
+        rgb_ref = refs[i + 1 + 2 * (depth + 1)]
         out, _ = _fwd_tile(refs_w, x_ref[...], meta)
         # Split in-tile: separate outputs avoid HBM slice copies outside.
         sigma_ref[...] = out[:, :ns]
-        rgb_ref[...] = out[:, ns:]
+        if sh_dim:
+            # SH decode in the epilogue: contract each channel's sh_dim
+            # coefficients with the per-row basis (f32 VPU lane reduction) —
+            # the [N, C*sh_dim] coefficient block never touches HBM.
+            b = basis_ref[...]
+            coeffs = out[:, ns:]
+            nc = (meta["d_out"] - ns) // sh_dim
+            rgb_ref[...] = jnp.concatenate(
+                [
+                    jnp.sum(
+                        coeffs[:, c * sh_dim : (c + 1) * sh_dim] * b,
+                        axis=-1,
+                        keepdims=True,
+                    )
+                    for c in range(nc)
+                ],
+                axis=-1,
+            )
+        else:
+            rgb_ref[...] = out[:, ns:]
 
     return kernel
 
@@ -157,14 +183,20 @@ def _make_bwd_kernel(meta):
     depth = meta["depth"]
     skip = meta["skip_layer"]
     width = meta["width"]
+    sh_dim = meta.get("sh_dim", 0)
     meta_enc = dict(meta, posenc=None)  # bwd encodes once, reuses below
 
     def kernel(*refs):
         x_ref = refs[0]
-        refs_w = refs[1 : 1 + 2 * (depth + 1)]
-        g_sigma_ref = refs[1 + 2 * (depth + 1)]
-        g_rgb_ref = refs[2 + 2 * (depth + 1)]
-        grefs = refs[3 + 2 * (depth + 1) :]  # gradient accumulators
+        i0 = 1
+        basis_ref = None
+        if sh_dim:
+            basis_ref = refs[i0]
+            i0 += 1
+        refs_w = refs[i0 : i0 + 2 * (depth + 1)]
+        g_sigma_ref = refs[i0 + 2 * (depth + 1)]
+        g_rgb_ref = refs[i0 + 1 + 2 * (depth + 1)]
+        grefs = refs[i0 + 2 + 2 * (depth + 1) :]  # gradient accumulators
 
         i_step = pl.program_id(0)
 
@@ -179,7 +211,18 @@ def _make_bwd_kernel(meta):
         out, acts = _fwd_tile(refs_w, x, meta_enc, save_acts=True)
         del out  # linear head: bwd needs only activations
 
-        g = jnp.concatenate([g_sigma_ref[...], g_rgb_ref[...]], axis=-1)
+        if sh_dim:
+            # Cotangent through the in-epilogue SH decode:
+            # d(coeff[n, c*K+k]) = g_rgb3[n, c] * basis[n, k].
+            b = basis_ref[...]
+            g3 = g_rgb_ref[...]
+            nc = g3.shape[-1]
+            g_coeff = jnp.concatenate(
+                [g3[:, c : c + 1] * b for c in range(nc)], axis=-1
+            )
+            g = jnp.concatenate([g_sigma_ref[...], g_coeff], axis=-1)
+        else:
+            g = jnp.concatenate([g_sigma_ref[...], g_rgb_ref[...]], axis=-1)
 
         # Head grads.
         h_last = acts[depth - 1]
@@ -221,22 +264,36 @@ def _interpret():
     return jax.default_backend() == "cpu"
 
 
-def _pallas_fwd(flat_w, x_p, meta):
+def _rgb_width(meta):
+    ns = meta["n_sigma"]
+    sh_dim = meta.get("sh_dim", 0)
+    nr = meta["d_out"] - ns
+    return nr // sh_dim if sh_dim else nr
+
+
+def _pallas_fwd(flat_w, x_p, meta, basis_p=None):
     n = x_p.shape[0]
-    depth = meta["depth"]
     grid = (n // TILE,)
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in flat_w
     ]
     ns = meta["n_sigma"]
-    nr = meta["d_out"] - ns
+    nr = _rgb_width(meta)
+    sh_dim = meta.get("sh_dim", 0)
+    basis_specs, basis_args = [], []
+    if sh_dim:
+        basis_specs = [
+            pl.BlockSpec((TILE, sh_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        basis_args = [basis_p]
     sigma, rgb = pl.pallas_call(
         _make_fwd_kernel(meta),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, meta["x_dim"]), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ]
+        + basis_specs
         + w_specs,
         out_specs=(
             pl.BlockSpec((TILE, ns), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -247,15 +304,16 @@ def _pallas_fwd(flat_w, x_p, meta):
             jax.ShapeDtypeStruct((n, nr), jnp.float32),
         ),
         interpret=_interpret(),
-    )(x_p, *flat_w)
+    )(x_p, *basis_args, *flat_w)
     return sigma, rgb
 
 
-def _pallas_bwd(flat_w, x_p, g_sigma, g_rgb, meta):
+def _pallas_bwd(flat_w, x_p, g_sigma, g_rgb, meta, basis_p=None):
     n = x_p.shape[0]
     grid = (n // TILE,)
     ns = meta["n_sigma"]
-    nr = meta["d_out"] - ns
+    nr = _rgb_width(meta)
+    sh_dim = meta.get("sh_dim", 0)
     w_specs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in flat_w
@@ -265,12 +323,19 @@ def _pallas_bwd(flat_w, x_p, g_sigma, g_rgb, meta):
         for w in flat_w
     ]
     g_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat_w]
+    basis_specs, basis_args = [], []
+    if sh_dim:
+        basis_specs = [
+            pl.BlockSpec((TILE, sh_dim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        basis_args = [basis_p]
     grads = pl.pallas_call(
         _make_bwd_kernel(meta),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, meta["x_dim"]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
+        + basis_specs
         + w_specs
         + [
             pl.BlockSpec((TILE, ns), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -279,18 +344,26 @@ def _pallas_bwd(flat_w, x_p, g_sigma, g_rgb, meta):
         out_specs=tuple(g_specs),
         out_shape=tuple(g_shapes),
         interpret=_interpret(),
-    )(x_p, *flat_w, g_sigma, g_rgb)
+    )(x_p, *basis_args, *flat_w, g_sigma, g_rgb)
     return grads
 
 
 def make_fused_trunk(meta):
-    """Returns fused(flat_w, x) -> (sigma [N, ns], rgb [N, d_out-ns]) with a
-    custom VJP.
+    """Returns fused(flat_w, x[, basis]) with a custom VJP.
+
+    Without meta["sh_dim"]: (sigma [N, ns], raw_rgb [N, d_out-ns]).
+    With meta["sh_dim"]=K: the head's C*K SH coefficients are contracted
+    against the per-row basis [N, K] inside the kernel epilogue and the
+    call returns (sigma [N, ns], rgb [N, C]) — the coefficient block never
+    round-trips HBM in either direction (the backward reconstructs its
+    cotangent from g_rgb x basis in-tile).
 
     x: [N, x_dim] (unpadded); flat_w: the pack_params list (f32). x is fed to
     the kernel in bf16 (the kernel's matmuls are bf16 anyway — same numerics
-    as the flax compute_dtype=bfloat16 path, half the input DMA traffic).
+    as the flax compute_dtype=bfloat16 path, half the input DMA traffic);
+    basis stays f32 (the decode contraction runs on the VPU in f32).
     """
+    sh_dim = meta.get("sh_dim", 0)
 
     def prep(x):
         # Row padding only (to a TILE multiple); features stay unpadded and
@@ -302,40 +375,54 @@ def make_fused_trunk(meta):
             x = jnp.pad(x, ((0, n_p - n), (0, 0)))
         return x, n
 
+    def prep_basis(basis, n_p):
+        basis = basis.astype(jnp.float32)
+        if basis.shape[0] != n_p:
+            basis = jnp.pad(basis, ((0, n_p - basis.shape[0]), (0, 0)))
+        return basis
+
     @jax.custom_vjp
-    def fused(flat_w, x):
+    def fused(flat_w, x, basis):
         x_p, n = prep(x)
-        sigma, rgb = _pallas_fwd(list(flat_w), x_p, meta)
+        b_p = prep_basis(basis, x_p.shape[0]) if sh_dim else None
+        sigma, rgb = _pallas_fwd(list(flat_w), x_p, meta, b_p)
         return sigma[:n], rgb[:n]
 
-    def fwd(flat_w, x):
-        return fused(flat_w, x), (flat_w, x)
+    def fwd(flat_w, x, basis):
+        return fused(flat_w, x, basis), (flat_w, x, basis)
 
     def bwd(res, g):
-        flat_w, x = res
+        flat_w, x, basis = res
         g_sigma, g_rgb = g
         x_p, n = prep(x)
         n_p = x_p.shape[0]
+        b_p = prep_basis(basis, n_p) if sh_dim else None
         g_sigma = g_sigma.astype(jnp.float32)
         g_rgb = g_rgb.astype(jnp.float32)
         if n_p != n:
             g_sigma = jnp.pad(g_sigma, ((0, n_p - n), (0, 0)))
             g_rgb = jnp.pad(g_rgb, ((0, n_p - n), (0, 0)))
-        grads = _pallas_bwd(list(flat_w), x_p, g_sigma, g_rgb, meta)
-        return tuple(grads), jnp.zeros_like(x)
+        grads = _pallas_bwd(list(flat_w), x_p, g_sigma, g_rgb, meta, b_p)
+        return tuple(grads), jnp.zeros_like(x), jnp.zeros_like(basis)
 
     fused.defvjp(fwd, bwd)
 
-    def call(flat_w, x):
+    def call(flat_w, x, basis=None):
         # Positions never need gradients in this framework (coarse z is RNG,
         # fine z is stop_gradient'ed) — cutting them here erases the whole
-        # posenc backward chain from the program.
-        return fused(tuple(flat_w), jax.lax.stop_gradient(x))
+        # posenc backward chain from the program. The basis likewise (view
+        # directions are inputs).
+        if sh_dim:
+            assert basis is not None, "meta['sh_dim'] set but no basis given"
+            basis = jax.lax.stop_gradient(basis)
+        else:
+            basis = jnp.zeros((0, 0), jnp.float32) if basis is None else basis
+        return fused(tuple(flat_w), jax.lax.stop_gradient(x), basis)
 
     return call
 
 
-def pack_params_traced(kernels, biases, skip_layer=4, posenc=None):
+def pack_params_traced(kernels, biases, skip_layer=4, posenc=None, sh_dim=0):
     """Traced (jnp) version of pack_params for use inside a jitted model:
     the head concat is a differentiable op, so grads from the fused kernel's
     custom VJP flow back to the original flax params.
@@ -343,6 +430,8 @@ def pack_params_traced(kernels, biases, skip_layer=4, posenc=None):
     Args:
       kernels/biases: lists in call order (trunk..., sigma head, rgb head).
       posenc: optional (min_deg, max_deg) to fuse the positional encoding.
+      sh_dim: if > 0, the rgb head emits C*sh_dim SH coefficients and the
+        kernel decodes them against a per-row basis in its epilogue.
 
     Returns:
       (flat list of f32 arrays, meta dict).
@@ -359,6 +448,9 @@ def pack_params_traced(kernels, biases, skip_layer=4, posenc=None):
         flat.append(biases[i].astype(jnp.float32).reshape(1, -1))
     flat.append(head_w.astype(jnp.float32))
     flat.append(head_b.astype(jnp.float32).reshape(1, -1))
+    n_sigma = kernels[depth].shape[1]
+    if sh_dim:
+        assert (d_out - n_sigma) % sh_dim == 0, (d_out, n_sigma, sh_dim)
     meta = dict(
         depth=depth,
         d_in=d_in,
@@ -367,7 +459,8 @@ def pack_params_traced(kernels, biases, skip_layer=4, posenc=None):
         skip_layer=skip_layer,
         posenc=posenc,
         x_dim=3 if posenc else d_in,
-        n_sigma=kernels[depth].shape[1],
+        n_sigma=n_sigma,
+        sh_dim=sh_dim,
     )
     return flat, meta
 

@@ -111,7 +111,7 @@ class TrunkMLP(nn.Module):
         raw_rgb = raw_rgb.reshape([-1, num_samples, self.num_rgb_channels])
         return raw_rgb, raw_sigma
 
-    def fused_enc(self, x):
+    def fused_enc(self, x, basis=None):
         """Fused Pallas path: trunk + heads in one kernel.
 
         Args:
@@ -119,9 +119,13 @@ class TrunkMLP(nn.Module):
             the kernel was tried and measured slower — 3-wide raw-position
             lanes are hostile to the VPU layout; the [N, 63] encoded input
             DMAs fine.)
+          basis: optional [N, K] per-row SH basis values. When given, the
+            head's C*K coefficients are contracted against it inside the
+            kernel epilogue and raw_rgb comes back already decoded [N, C]
+            (the coefficient block never round-trips HBM).
 
         Returns:
-          raw_rgb [N, num_rgb_channels], raw_sigma [N, num_sigma_channels].
+          raw_rgb [N, num_rgb_channels or C], raw_sigma [N, num_sigma_channels].
 
         Materializes each layer's params by probing it with one row (shape
         creation identical to the reference path; XLA dead-code-eliminates
@@ -144,9 +148,12 @@ class TrunkMLP(nn.Module):
             p = layer.variables["params"]
             kernels.append(p["kernel"])
             biases.append(p["bias"])
-        flat, meta = fk.pack_params_traced(kernels, biases, self.skip_layer)
+        flat, meta = fk.pack_params_traced(
+            kernels, biases, self.skip_layer,
+            sh_dim=0 if basis is None else basis.shape[-1],
+        )
         fused = fk.make_fused_trunk(meta)
-        raw_sigma, raw_rgb = fused(tuple(flat), x)
+        raw_sigma, raw_rgb = fused(tuple(flat), x, basis)
         return raw_rgb, raw_sigma
 
     def cross(self, x, condition):

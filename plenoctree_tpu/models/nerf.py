@@ -23,6 +23,7 @@ from jax import random
 from plenoctree_tpu.ops import posenc, eval_sh, eval_sg
 from plenoctree_tpu.ops import sampling as ops_sampling
 from plenoctree_tpu.ops.rendering import volumetric_rendering
+from plenoctree_tpu.ops.sh import sh_basis
 from plenoctree_tpu.models.mlp import TrunkMLP
 
 
@@ -122,15 +123,26 @@ class NerfModel(nn.Module):
             and not self.is_initializing()
         )
 
-    def _query_mlp(self, mlp, samples, viewdirs_enc=None):
-        """posenc + trunk on [B, S, 3] samples; fused Pallas kernel when on."""
+    def _query_mlp(self, mlp, samples, viewdirs_enc=None, basis=None):
+        """posenc + trunk on [B, S, 3] samples; fused Pallas kernel when on.
+
+        basis (fused path only): per-ray SH basis [B, K]; the kernel decodes
+        the color head in its epilogue and raw_rgb comes back as [B, S, C]
+        already contracted (callers then skip _decode_color).
+        """
         b, s = samples.shape[0], samples.shape[1]
         samples_enc = posenc(
             samples, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
         )
         if self._use_fused() and viewdirs_enc is None:
+            basis_rows = None
+            if basis is not None:
+                k = basis.shape[-1]
+                basis_rows = jnp.broadcast_to(
+                    basis[:, None, :], (b, s, k)
+                ).reshape(-1, k)
             raw_rgb, raw_sigma = mlp.fused_enc(
-                samples_enc.reshape(-1, samples_enc.shape[-1])
+                samples_enc.reshape(-1, samples_enc.shape[-1]), basis=basis_rows
             )
             return raw_rgb.reshape(b, s, -1), raw_sigma.reshape(b, s, -1)
         if viewdirs_enc is not None:
@@ -242,13 +254,23 @@ class NerfModel(nn.Module):
             )
         else:
             viewdirs_enc = None
-        raw_rgb, raw_sigma = self._query_mlp(self.MLP_0, samples, viewdirs_enc)
+        # In-kernel SH decode (fused path): the basis is per-ray, so compute
+        # it once here and let the trunk kernel contract the coefficient
+        # block in its epilogue — [B*S, C*K] never touches HBM.
+        decode_fused = (
+            self._use_fused() and viewdirs_enc is None and self.sh_deg >= 0
+        )
+        basis = sh_basis(self.sh_deg, rays.viewdirs) if decode_fused else None
+        raw_rgb, raw_sigma = self._query_mlp(
+            self.MLP_0, samples, viewdirs_enc, basis=basis
+        )
 
         key, rng_0 = random.split(rng_0)
         raw_sigma = ops_sampling.add_gaussian_noise(
             key, raw_sigma, self.noise_std, randomized
         )
-        raw_rgb = self._decode_color(raw_rgb, rays.viewdirs[:, None])
+        if not decode_fused:
+            raw_rgb = self._decode_color(raw_rgb, rays.viewdirs[:, None])
         rgb = self.rgb_activation(raw_rgb)
         sigma = self.sigma_activation(raw_sigma)
         comp_rgb, disp, acc, weights = volumetric_rendering(
@@ -269,12 +291,15 @@ class NerfModel(nn.Module):
                 self.num_fine_samples,
                 randomized,
             )
-            raw_rgb, raw_sigma = self._query_mlp(self.MLP_1, samples, viewdirs_enc)
+            raw_rgb, raw_sigma = self._query_mlp(
+                self.MLP_1, samples, viewdirs_enc, basis=basis
+            )
             key, rng_1 = random.split(rng_1)
             raw_sigma = ops_sampling.add_gaussian_noise(
                 key, raw_sigma, self.noise_std, randomized
             )
-            raw_rgb = self._decode_color(raw_rgb, rays.viewdirs[:, None])
+            if not decode_fused:
+                raw_rgb = self._decode_color(raw_rgb, rays.viewdirs[:, None])
             rgb = self.rgb_activation(raw_rgb)
             sigma = self.sigma_activation(raw_sigma)
             comp_rgb, disp, acc, _ = volumetric_rendering(
