@@ -148,11 +148,36 @@ def main():
             f"{r['opt_psnr']:.2f} | {r['opt_ssim']:.4f} | {r['train_s']:.0f} | "
             f"{r['extract_s']:.0f} | {r['opt_s']:.0f} |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "Historical: the round-2 full-level row (14.28* / 39.28 / 23.41*) is",
+        "INVALID — the NeRF number was a backend miscompile at batch 8192 and",
+        "the optimized number a K=64 slot-death bug; both fixed (canary +",
+        "sticky K regrowth, see docs/STATUS.md). It is retained only in",
+        "parity_results.json under `full_r2_invalid`.",
+        "",
+    ]
+    # Merge results into the existing json rather than clobbering it, so the
+    # invalid-marked historical rows survive (VERDICT r4 weak-#3: tooling
+    # reading the json must never see invalid numbers unmarked).
+    json_path = os.path.join(REPO, "docs", "parity_results.json")
+    merged = {}
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            merged = json.load(f)
+        if "full" in merged and "full" in results and merged["full"].get(
+            "nerf_psnr"
+        ) == 14.2754:
+            merged["full_r2_invalid"] = dict(
+                merged.pop("full"),
+                invalid="NeRF PSNR was a backend miscompile at batch 8192; "
+                "optimized PSNR was destroyed by the K=64 slot-death bug",
+            )
+    merged.update(results)
     with open(os.path.join(REPO, "docs", "PARITY_RESULTS.md"), "w") as f:
         f.write("\n".join(lines))
-    with open(os.path.join(REPO, "docs", "parity_results.json"), "w") as f:
-        json.dump(results, f, indent=2)
+    with open(json_path, "w") as f:
+        json.dump(merged, f, indent=2)
     print("wrote docs/PARITY_RESULTS.md")
 
 
