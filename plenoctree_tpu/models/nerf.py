@@ -14,6 +14,7 @@ The color heads:
   use_viewdirs: classic NeRF conditioning (mutually exclusive with SH/SG).
 """
 
+import os
 from typing import Any, Callable
 
 import jax.numpy as jnp
@@ -258,7 +259,12 @@ class NerfModel(nn.Module):
         # it once here and let the trunk kernel contract the coefficient
         # block in its epilogue — [B*S, C*K] never touches HBM.
         decode_fused = (
-            self._use_fused() and viewdirs_enc is None and self.sh_deg >= 0
+            self._use_fused()
+            and viewdirs_enc is None
+            and self.sh_deg >= 0
+            # Escape hatch for A/B timing the in-kernel decode against the
+            # XLA einsum decode (same fused trunk either way).
+            and os.environ.get("PN_SH_IN_KERNEL", "1") != "0"
         )
         basis = sh_basis(self.sh_deg, rays.viewdirs) if decode_fused else None
         raw_rgb, raw_sigma = self._query_mlp(

@@ -51,6 +51,7 @@ hit both are small).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -710,6 +711,7 @@ def _tile_kernel(
     od_cap,
     use_bf16,
     nbuf,
+    ablate="",
 ):
     n_pieces = meta_ref[0, 0, 0]
     G = runrows // quantum  # pieces packed per dense compute chunk
@@ -863,38 +865,66 @@ def _tile_kernel(
         # relation for keys within bf16 eps (adjacent deep-tree cells are) —
         # pairs could occlude each other BOTH ways. Exact key_col keeps
         # `before` a strict total order.
-        before = (key_col < key) | ((key_col == key) & rid_lt_cid)
-        before_mm = before.astype(mm_dt)
+        if ablate == "nobefore":
+            # Timing ablation: skip the [R, R] precedence construction
+            # (keeps the occ matmul; output is WRONG — profiling only).
+            before_mm = eye.astype(mm_dt)
+        else:
+            before = (key_col < key) | ((key_col == key) & rid_lt_cid)
+            before_mm = before.astype(mm_dt)
 
         for g in range(4):
             sl = slice(g * gsz, (g + 1) * gsz)
 
-            @pl.when((cmask >> g) % 2 == 1)
+            # Per-quad-group saturation skip: once every ray in the group
+            # has optical depth past od_cap, light < stop_thresh for any
+            # further hit, so alive=False zeroes both the contribution and
+            # the cum update — skipping the group is bitwise identical
+            # (the whole-tile early exit above is the same test over all
+            # rays; this catches groups that saturate at different depths).
+            # ablate="noskip" disables it for A/B timing (output unchanged).
+            group_on = (cmask >> g) % 2 == 1
+            if ablate == "allon":
+                # NDC-cost model: the LLFF/NDC path runs with all-on group
+                # masks (no shared ray apex -> masks are unsound, see the
+                # ndc branch in make_tile_inputs_fn). Forcing every group on
+                # prices that here on any scene; output stays correct
+                # (masks are conservative) — only slower.
+                group_on = cmask >= 0
+            if ablate != "noskip":
+                group_on = group_on & (jnp.min(state[sl, 0]) <= od_cap)
+
+            @pl.when(group_on)
             def _(sl=sl):
-                # Ray/box slab test, [gsz, runrows] per axis (FMA form).
-                tn = None
-                tf = None
-                for a in range(3):
-                    t1 = (
-                        f[a : a + 1, :] * invd_ref[0, sl, a : a + 1]
-                        - oi[sl, a : a + 1]
+                if ablate == "noslab":
+                    # Timing ablation: skip the per-axis slab tests
+                    # (output WRONG — profiling only).
+                    sdt = sigma * dscale[sl] * 0.01
+                else:
+                    # Ray/box slab test, [gsz, runrows] per axis (FMA form).
+                    tn = None
+                    tf = None
+                    for a in range(3):
+                        t1 = (
+                            f[a : a + 1, :] * invd_ref[0, sl, a : a + 1]
+                            - oi[sl, a : a + 1]
+                        )
+                        t2 = (
+                            f[3 + a : 4 + a, :] * invd_ref[0, sl, a : a + 1]
+                            - oi[sl, a : a + 1]
+                        )
+                        tn_a = jnp.minimum(t1, t2)
+                        tf_a = jnp.maximum(t1, t2)
+                        tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
+                        tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
+                    entry = jnp.maximum(tn, tmin[sl])
+                    # Clipped boxes are an exact spatial partition
+                    # (build_tile_index): no replica dedup needed. Dead lanes
+                    # are already sigma-folded (zero contribution either way).
+                    hit = (tf > entry) & (entry <= tmax[sl])
+                    sdt = jnp.where(
+                        hit, sigma * (tf - entry + step_eps) * dscale[sl], 0.0
                     )
-                    t2 = (
-                        f[3 + a : 4 + a, :] * invd_ref[0, sl, a : a + 1]
-                        - oi[sl, a : a + 1]
-                    )
-                    tn_a = jnp.minimum(t1, t2)
-                    tf_a = jnp.maximum(t1, t2)
-                    tn = tn_a if tn is None else jnp.maximum(tn, tn_a)
-                    tf = tf_a if tf is None else jnp.minimum(tf, tf_a)
-                entry = jnp.maximum(tn, tmin[sl])
-                # Clipped boxes are an exact spatial partition
-                # (build_tile_index): no replica dedup needed. Dead lanes
-                # are already sigma-folded (zero contribution either way).
-                hit = (tf > entry) & (entry <= tmax[sl])
-                sdt = jnp.where(
-                    hit, sigma * (tf - entry + step_eps) * dscale[sl], 0.0
-                )
                 cum_g = state[sl, 0:1]
                 occ = cum_g + jax.lax.dot(
                     sdt.astype(mm_dt),
@@ -910,7 +940,7 @@ def _tile_kernel(
                 # Per-channel decode on the MXU; compositing sums as
                 # dot(X, ones) (MXU) instead of cross-lane reduces.
                 basis_mm = basis_mm_all[sl]
-                for c in range(n_channels):
+                for c in range(n_channels if ablate != "nodecode" else 0):
                     coef_c = f[6 + c * basis_dim : 6 + (c + 1) * basis_dim, :]
                     raw_c = jax.lax.dot(
                         basis_mm,
@@ -966,6 +996,10 @@ class TileRenderer:
     dependent): construct with sigma_thresh/stop_thresh ~1e-2.
     """
 
+    # Class-level default so instances built via __new__ (TileOptimizer
+    # grafts one without running __init__) get the production kernel.
+    ablate = ""
+
     def __init__(
         self,
         tree,
@@ -988,8 +1022,15 @@ class TileRenderer:
         mesh=None,
         index=None,
         ndc=None,
+        ablate=None,
     ):
         self.tree = tree
+        # Timing-only kernel ablations (noskip/nobefore/noslab/nodecode) for
+        # on-chip cost attribution; images are WRONG under any value other
+        # than ""/"noskip". Default comes from PN_TILE_ABLATE for scripts.
+        self.ablate = (
+            os.environ.get("PN_TILE_ABLATE", "") if ablate is None else ablate
+        )
         # LLFF forward-facing serving (reference octree/optimization.py:
         # 170-173 NDCConfig): rays are converted to NDC on device before the
         # tree-space transform. NDC rays keep straight lines (the transform
@@ -1089,6 +1130,7 @@ class TileRenderer:
                 stop_thresh=self.opts.stop_thresh,
                 od_cap=od_cap,
                 nbuf=self.nbuf,
+                ablate=self.ablate,
             )
             bd = self.basis_dim
             nc = self.n_channels
