@@ -408,12 +408,25 @@ def _phase1(
 
     ok_a, x_a = cross_l2(lo1)
     ok_b, x_b = cross_l2(hi1)
-    cand_ok = jnp.concatenate([ep_in, ok_a, ok_b], axis=-1)  # [C, w1cap, 64]
-    cand_l2 = jnp.concatenate([ep2 * jnp.ones_like(ep_in, jnp.float32), x_a, x_b],
-                              axis=-1)
-    l2_min = jnp.min(jnp.where(cand_ok, cand_l2, big), axis=-1)
-    l2_max = jnp.max(jnp.where(cand_ok, cand_l2, -big), axis=-1)
-    has = jnp.any(cand_ok, axis=-1)
+    # Per-candidate-set min/max, folded pairwise — materializing the
+    # concatenated [C, w1cap, 64] candidate tensors (ok, l2, and the two
+    # where-products) dominated phase-1 device time at the 800^2 scale.
+    ep2b = ep2 * jnp.ones_like(ep_in, jnp.float32)
+    l2_min = jnp.minimum(
+        jnp.min(jnp.where(ep_in, ep2b, big), axis=-1),
+        jnp.minimum(
+            jnp.min(jnp.where(ok_a, x_a, big), axis=-1),
+            jnp.min(jnp.where(ok_b, x_b, big), axis=-1),
+        ),
+    )
+    l2_max = jnp.maximum(
+        jnp.max(jnp.where(ep_in, ep2b, -big), axis=-1),
+        jnp.maximum(
+            jnp.max(jnp.where(ok_a, x_a, -big), axis=-1),
+            jnp.max(jnp.where(ok_b, x_b, -big), axis=-1),
+        ),
+    )
+    has = jnp.any(ep_in, axis=-1) | jnp.any(ok_a, axis=-1) | jnp.any(ok_b, axis=-1)
     w1_ok = w1_ok & has
     mh = margin[axis] + 5e-5
     v2_lo = jnp.clip(
@@ -453,20 +466,26 @@ def _phase1(
         ],
         axis=-1,
     )
-    unperm = (perm[None, :] == jnp.arange(3)[:, None]).astype(jnp.float32)
+    apex = o4[0]  # [3] (shared-origin pinhole tile)
+    # p-vertex signed distance, collapsed to two [C*w1cap,3]@[3,16] matmuls:
+    # sd = Σ_x (hi·max(nrm,0) + lo·min(nrm,0)) − nrm·apex (per-plane sign
+    # select distributes over the sum), with the unpermute folded into the
+    # plane-normal factors — the explicit [C, w1cap, 4, 4, 3] select tensor
+    # this replaces dominated phase-1 device time.
     # precision="highest": DEFAULT would truncate the box coordinates to
     # bf16 on the MXU (~4e-3 error), overwhelming the 3e-4 mask-test slack
     # below and clearing quad-mask bits for boxes real rays hit.
-    box_lo3 = jnp.einsum("xp,cwp->cwx", unperm, box_lo_p, precision="highest")
-    box_hi3 = jnp.einsum("xp,cwp->cwx", unperm, box_hi_p, precision="highest")
-    apex = o4[0]  # [3] (shared-origin pinhole tile)
-    nrm = gplanes.reshape(4, 4, 3)  # [group, plane, xyz]
-    xp = jnp.where(
-        nrm[None, None] > 0, box_hi3[:, :, None, None, :],
-        box_lo3[:, :, None, None, :],
-    )  # [C, w1cap, 4, 4, 3]
-    sd = jnp.sum(nrm[None, None] * (xp - apex), axis=-1)  # [C, w1cap, 4, 4]
-    gmask = jnp.all(sd >= -3e-4, axis=-1)  # [C, w1cap, 4]
+    nrm16 = gplanes  # [16, 3]
+    # Permuted-coordinate normals via exact gather (unperm is a permutation
+    # matrix, so A @ unperm == A[:, perm] — no matmul rounding).
+    pos_p = jnp.maximum(nrm16, 0.0)[:, perm]  # [16, 3] in permuted coords
+    neg_p = jnp.minimum(nrm16, 0.0)[:, perm]
+    sd = (
+        jnp.einsum("cwp,gp->cwg", box_hi_p, pos_p, precision="highest")
+        + jnp.einsum("cwp,gp->cwg", box_lo_p, neg_p, precision="highest")
+        - (nrm16 @ apex)[None, None, :]
+    )  # [C, w1cap, 16]
+    gmask = jnp.all(sd.reshape(C, w1cap, 4, 4) >= -3e-4, axis=-1)  # [C, w1cap, 4]
     r_mask = jnp.sum(
         gmask.astype(jnp.int32) * (2 ** jnp.arange(4))[None, None, :], axis=-1
     )
@@ -491,9 +510,15 @@ def _phase1(
     # on the PRE-drop piece count.
     pvalid = jnp.arange(ccap, dtype=jnp.int32) < jnp.minimum(n_pieces, ccap)
     bb = blk_bbox[piece_c0 // quantum]  # [ccap, 8]
-    xp = jnp.where(nrm[None] > 0, bb[:, None, None, 3:6], bb[:, None, None, 0:3])
-    sdist = jnp.sum(nrm[None] * (xp - apex), axis=-1)  # [ccap, 4, 4]
-    bmask_bits = jnp.all(sdist >= -3e-4, axis=-1)  # [ccap, 4]
+    # Same sign-select collapse as the range-level mask above: two
+    # [ccap,3]@[3,16] matmuls instead of a [ccap, 4, 4, 3] select tensor.
+    # bboxes are already in xyz, so no permutation fold here.
+    sdist = (
+        jax.lax.dot(bb[:, 3:6], jnp.maximum(nrm16, 0.0).T, precision="highest")
+        + jax.lax.dot(bb[:, 0:3], jnp.minimum(nrm16, 0.0).T, precision="highest")
+        - (nrm16 @ apex)[None, :]
+    )  # [ccap, 16]
+    bmask_bits = jnp.all(sdist.reshape(-1, 4, 4) >= -3e-4, axis=-1)  # [ccap, 4]
     bmask = jnp.sum(
         bmask_bits.astype(jnp.int32) * (2 ** jnp.arange(4))[None, :], axis=-1
     )
