@@ -111,18 +111,22 @@ class TrunkMLP(nn.Module):
         raw_rgb = raw_rgb.reshape([-1, num_samples, self.num_rgb_channels])
         return raw_rgb, raw_sigma
 
-    def fused_enc(self, x, basis=None):
+    def fused_enc(self, x, basis=None, posenc=None):
         """Fused Pallas path: trunk + heads in one kernel.
 
         Args:
-          x: [N, d_in] posenc-encoded sample features. (Fusing posenc into
-            the kernel was tried and measured slower — 3-wide raw-position
-            lanes are hostile to the VPU layout; the [N, 63] encoded input
-            DMAs fine.)
+          x: [N, d_in] posenc-encoded sample features — or, with `posenc`
+            set, the raw [N, 3] sample coordinates. (An earlier in-kernel
+            posenc built the encoding with 10 lane-concats of [T, 3] slabs
+            and measured slower — Mosaic relayouts; the current form is
+            concat-free: four_feat = sin(x @ S + off) plus split first-layer
+            weights, so the [N, 63] encoding never exists in HBM.)
           basis: optional [N, K] per-row SH basis values. When given, the
             head's C*K coefficients are contracted against it inside the
             kernel epilogue and raw_rgb comes back already decoded [N, C]
             (the coefficient block never round-trips HBM).
+          posenc: optional (min_deg, max_deg) to fuse the positional
+            encoding into the kernel (non-legacy layout only).
 
         Returns:
           raw_rgb [N, num_rgb_channels or C], raw_sigma [N, num_sigma_channels].
@@ -134,7 +138,10 @@ class TrunkMLP(nn.Module):
         """
         from plenoctree_tpu.kernels import fused_mlp as fk
 
-        probe = jnp.zeros((1, x.shape[-1]), x.dtype)
+        d_probe = (
+            3 * (1 + 2 * (posenc[1] - posenc[0])) if posenc else x.shape[-1]
+        )
+        probe = jnp.zeros((1, d_probe), x.dtype)
         h = probe
         for i, layer in enumerate(self.trunk):
             h = layer(h)
@@ -149,7 +156,7 @@ class TrunkMLP(nn.Module):
             kernels.append(p["kernel"])
             biases.append(p["bias"])
         flat, meta = fk.pack_params_traced(
-            kernels, biases, self.skip_layer,
+            kernels, biases, self.skip_layer, posenc=posenc,
             sh_dim=0 if basis is None else basis.shape[-1],
         )
         fused = fk.make_fused_trunk(meta)

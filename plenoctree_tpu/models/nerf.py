@@ -132,9 +132,6 @@ class NerfModel(nn.Module):
         already contracted (callers then skip _decode_color).
         """
         b, s = samples.shape[0], samples.shape[1]
-        samples_enc = posenc(
-            samples, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
-        )
         if self._use_fused() and viewdirs_enc is None:
             basis_rows = None
             if basis is not None:
@@ -142,10 +139,31 @@ class NerfModel(nn.Module):
                 basis_rows = jnp.broadcast_to(
                     basis[:, None, :], (b, s, k)
                 ).reshape(-1, k)
-            raw_rgb, raw_sigma = mlp.fused_enc(
-                samples_enc.reshape(-1, samples_enc.shape[-1]), basis=basis_rows
-            )
+            # In-kernel positional encoding (opt-in, PN_POSENC_IN_KERNEL=1):
+            # the XLA posenc chain materializes [N, 30/60/63] intermediates
+            # in lane-hostile layouts (~6.5 ms/step on the fine network at
+            # batch 4096); the kernel computes sin(x @ S + off) in-tile so
+            # the encoding never exists in HBM. Off by default until the
+            # chip A/B shows it beating the XLA path (the einsum path
+            # measures 84.9k rays/s, round 5).
+            pe = None
+            if (
+                self.min_deg_point < self.max_deg_point
+                and os.environ.get("PN_POSENC_IN_KERNEL", "0") == "1"
+            ):
+                pe = (self.min_deg_point, self.max_deg_point)
+                mlp_in = samples.reshape(-1, samples.shape[-1])
+            else:
+                samples_enc = posenc(
+                    samples, self.min_deg_point, self.max_deg_point,
+                    self.legacy_posenc_order,
+                )
+                mlp_in = samples_enc.reshape(-1, samples_enc.shape[-1])
+            raw_rgb, raw_sigma = mlp.fused_enc(mlp_in, basis=basis_rows, posenc=pe)
             return raw_rgb.reshape(b, s, -1), raw_sigma.reshape(b, s, -1)
+        samples_enc = posenc(
+            samples, self.min_deg_point, self.max_deg_point, self.legacy_posenc_order
+        )
         if viewdirs_enc is not None:
             return mlp(samples_enc, viewdirs_enc)
         return mlp(samples_enc)
@@ -262,9 +280,11 @@ class NerfModel(nn.Module):
             self._use_fused()
             and viewdirs_enc is None
             and self.sh_deg >= 0
-            # Escape hatch for A/B timing the in-kernel decode against the
-            # XLA einsum decode (same fused trunk either way).
-            and os.environ.get("PN_SH_IN_KERNEL", "1") != "0"
+            # In-kernel SH decode is opt-in (PN_SH_IN_KERNEL=1): measured on
+            # chip (round 5), the XLA einsum decode trains at 84.4k rays/s
+            # vs 76.7k with the original in-kernel epilogue — the decode's
+            # HBM saving did not cover its VPU cost at these shapes.
+            and os.environ.get("PN_SH_IN_KERNEL", "0") == "1"
         )
         basis = sh_basis(self.sh_deg, rays.viewdirs) if decode_fused else None
         raw_rgb, raw_sigma = self._query_mlp(

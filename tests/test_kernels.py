@@ -226,6 +226,96 @@ class TestFusedTrunk:
             scale = np.abs(a).max() + 1e-9
             assert np.abs(a - b).max() / scale < 0.08, key
 
+    def test_posenc_forward_matches_flax(self, small_mlp):
+        # In-kernel positional encoding: raw [N, 3] coords in, must equal
+        # XLA posenc + flax trunk. d_in 21 = 3 * (1 + 2*3) -> posenc (0, 3).
+        from plenoctree_tpu.ops import posenc
+
+        mlp, variables = small_mlp
+        rng = np.random.default_rng(6)
+        pts = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+        flat, meta = pack_params(variables["params"], skip_layer=2, posenc=(0, 3))
+        assert meta["x_dim"] == 3
+        fused = make_fused_trunk(meta)
+        out_sigma, out_rgb = fused(flat, pts)
+        xs = posenc(pts, 0, 3)
+        rgb, sigma = mlp.apply(variables, xs[:, None, :])
+        np.testing.assert_allclose(
+            np.asarray(out_rgb), np.asarray(rgb.reshape(-1, 12)),
+            atol=2e-2, rtol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_sigma), np.asarray(sigma.reshape(-1, 1)),
+            atol=2e-2, rtol=2e-2,
+        )
+
+    def test_posenc_grads_match_flax(self, small_mlp):
+        # Split-layer weight grads (layer 0, post-skip layers, split head)
+        # must reassemble to the flax grads of the encoded-input layers.
+        from plenoctree_tpu.ops import posenc
+
+        mlp, variables = small_mlp
+        rng = np.random.default_rng(7)
+        pts = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.normal(size=(64, 13)).astype(np.float32))
+        flat, meta = pack_params(variables["params"], skip_layer=2, posenc=(0, 3))
+        fused = make_fused_trunk(meta)
+
+        def loss_fused(fw):
+            sg, rgb = fused(fw, pts)
+            return jnp.vdot(jnp.concatenate([sg, rgb], -1), gt)
+
+        gf = jax.grad(loss_fused)(tuple(flat))
+
+        def loss_flax(params):
+            xs = posenc(pts, 0, 3)
+            rgb, sg = mlp.apply({"params": params}, xs[:, None, :])
+            out = jnp.concatenate([sg.reshape(-1, 1), rgb.reshape(-1, 12)], -1)
+            return jnp.vdot(out, gt)
+
+        gx = jax.grad(loss_flax)(variables["params"])
+        names = sorted(gx.keys(), key=lambda k: int(k.split("_")[1]))
+        depth = len(names) - 2
+        for i in range(depth):
+            k = np.asarray(gx[names[i]]["kernel"])
+            kf = np.asarray(gf[2 * i])
+            assert kf.shape == k.shape, f"layer {i} grad shape"
+            scale = np.abs(k).max() + 1e-9
+            assert np.abs(kf - k).max() / scale < 0.05, f"layer {i} kernel"
+            b = np.asarray(gx[names[i]]["bias"])
+            bf = np.asarray(gf[2 * i + 1])[0]
+            assert np.abs(bf - b).max() / (np.abs(b).max() + 1e-9) < 0.05, i
+        hk = np.concatenate(
+            [
+                np.asarray(gx[names[depth]]["kernel"]),
+                np.asarray(gx[names[depth + 1]]["kernel"]),
+            ],
+            axis=1,
+        )
+        hkf = np.asarray(gf[2 * depth])
+        assert hkf.shape == hk.shape
+        assert np.abs(hkf - hk).max() / (np.abs(hk).max() + 1e-9) < 0.05
+
+    def test_posenc_decode_combined(self, small_mlp):
+        # posenc + in-epilogue SH decode together (the training configuration).
+        from plenoctree_tpu.ops import posenc
+
+        mlp, variables = small_mlp
+        rng = np.random.default_rng(8)
+        pts = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+        basis = jnp.asarray(rng.normal(size=(100, 4)).astype(np.float32))
+        flat, meta = pack_params(variables["params"], skip_layer=2, posenc=(0, 3))
+        meta = dict(meta, sh_dim=4)
+        fused = make_fused_trunk(meta)
+        out_sigma, out_rgb = fused(flat, pts, basis)
+        assert out_rgb.shape == (100, 3)
+        xs = posenc(pts, 0, 3)
+        rgb, sigma = mlp.apply(variables, xs[:, None, :])
+        ref_rgb = jnp.einsum("nck,nk->nc", rgb.reshape(-1, 3, 4), basis)
+        np.testing.assert_allclose(
+            np.asarray(out_rgb), np.asarray(ref_rgb), atol=5e-2, rtol=5e-2
+        )
+
     def test_traced_packing_matches_numpy_packing(self, small_mlp):
         _, variables = small_mlp
         params = variables["params"]
