@@ -1530,8 +1530,18 @@ class TileRenderer:
         regrow = False
         if w1_over > 0:
             # Undersized lateral-1 window (camera far outside the volume):
-            # phase 1 masked real cells. Regrow exactly and re-render.
-            self.w1cap = int(min(self.grid_c, self.w1cap + w1_over))
+            # phase 1 masked real cells. Regrow with 25% headroom — exact
+            # (+w1_over) growth caused one ~3 min remote recompile PER POSE
+            # while an orbiting camera's window need crept up (measured:
+            # 4 consecutive regrow-recompiles in a 24-frame orbit at 800²);
+            # the margin makes regrowth settle in one step for a
+            # neighborhood of poses at a few extra phase-1 rows.
+            self.w1cap = int(
+                min(
+                    self.grid_c,
+                    self.w1cap + w1_over + max(2, self.w1cap // 4),
+                )
+            )
             regrow = True
         if nc_max > self.ccap:
             if self.ccap >= 16384:
