@@ -287,15 +287,21 @@ _GROUP_CORNER_OFF = lambda q: np.array(  # noqa: E731
 
 
 def _phase1(
-    csr, base, margin, blk_bbox, o4, d4, gplanes, span_lo, span_hi, any_hit,
-    grid_c, fine_c2, w1cap, quantum, ccap,
+    csr, base, margin, blk_bbox, o4, d4, gplanes, goff, span_lo, span_hi,
+    any_hit, grid_c, fine_c2, w1cap, quantum, ccap,
 ):
     """One tile's candidate row ranges, front-to-back slab order.
 
     o4/d4 [4, 3]: the tile's corner rays (tree space, unit dn).
-    gplanes [16, 3]: inward normals of the 4 quad-group frusta (4 planes
-    each, shared apex o4[0]) — used to stamp every range with a 4-bit
-    group-overlap mask so the kernel can skip quad-ray-groups per chunk.
+    gplanes [16, 3] / goff [16]: per-group half-space tests — a box is
+    "possibly hit by group g" iff max over the box of n·x >= goff for all
+    4 of the group's planes (rows g*4..g*4+3). Pinhole tiles pass the 4
+    quad-group frustum normals with goff = n·apex; NDC tiles pass axis
+    normals (±x, ±y) with goff from the group's ray-segment-endpoint
+    AABB (rays there share no apex, but their [tmin, tmax] segments are
+    straight in tree space, so the endpoint AABB bounds every segment).
+    Used to stamp every range with a 4-bit group-overlap mask so the
+    kernel can skip quad-ray-groups per chunk.
     span_lo/span_hi: conservative t-span over the tile's FULL ray set;
     any_hit: whether any tile ray intersects the volume at all (exact
     gate — off-box tiles emit zero ranges). Returns (piece_c0, piece_lo,
@@ -466,9 +472,8 @@ def _phase1(
         ],
         axis=-1,
     )
-    apex = o4[0]  # [3] (shared-origin pinhole tile)
     # p-vertex signed distance, collapsed to two [C*w1cap,3]@[3,16] matmuls:
-    # sd = Σ_x (hi·max(nrm,0) + lo·min(nrm,0)) − nrm·apex (per-plane sign
+    # sd = Σ_x (hi·max(nrm,0) + lo·min(nrm,0)) − goff (per-plane sign
     # select distributes over the sum), with the unpermute folded into the
     # plane-normal factors — the explicit [C, w1cap, 4, 4, 3] select tensor
     # this replaces dominated phase-1 device time.
@@ -483,7 +488,7 @@ def _phase1(
     sd = (
         jnp.einsum("cwp,gp->cwg", box_hi_p, pos_p, precision="highest")
         + jnp.einsum("cwp,gp->cwg", box_lo_p, neg_p, precision="highest")
-        - (nrm16 @ apex)[None, None, :]
+        - goff[None, None, :]
     )  # [C, w1cap, 16]
     gmask = jnp.all(sd.reshape(C, w1cap, 4, 4) >= -3e-4, axis=-1)  # [C, w1cap, 4]
     r_mask = jnp.sum(
@@ -516,7 +521,7 @@ def _phase1(
     sdist = (
         jax.lax.dot(bb[:, 3:6], jnp.maximum(nrm16, 0.0).T, precision="highest")
         + jax.lax.dot(bb[:, 0:3], jnp.minimum(nrm16, 0.0).T, precision="highest")
-        - (nrm16 @ apex)[None, :]
+        - goff[None, :]
     )  # [ccap, 16]
     bmask_bits = jnp.all(sdist.reshape(-1, 4, 4) >= -3e-4, axis=-1)  # [ccap, 4]
     bmask = jnp.sum(
@@ -910,11 +915,11 @@ def _tile_kernel(
             # ablate="noskip" disables it for A/B timing (output unchanged).
             group_on = (cmask >> g) % 2 == 1
             if ablate == "allon":
-                # NDC-cost model: the LLFF/NDC path runs with all-on group
-                # masks (no shared ray apex -> masks are unsound, see the
-                # ndc branch in make_tile_inputs_fn). Forcing every group on
-                # prices that here on any scene; output stays correct
-                # (masks are conservative) — only slower.
+                # Mask-value ablation: forcing every group on prices the
+                # group masks on any scene; output stays correct (masks are
+                # conservative) — only slower. (Historically also the
+                # NDC-cost model; NDC now carries real segment-AABB masks,
+                # see the ndc branch in make_tile_inputs_fn.)
                 group_on = cmask >= 0
             if ablate != "noskip":
                 group_on = group_on & (jnp.min(state[sl, 0]) <= od_cap)
@@ -1039,7 +1044,11 @@ class TileRenderer:
         rcap=256,
         w1cap=None,
         ccap=None,
-        nbuf=4,
+        # nbuf 2: the round-5 on-chip knob sweep measured t16/r256 medians
+        # 138/148/138 ms at nbuf 2/4/8 — one chunk in flight already hides
+        # the DMA, and the shallower ring frees VMEM (scripts/
+        # sweep_tile_knobs.py, docs/STATUS.md round-5 sweep table).
+        nbuf=2,
         quantum=128,
         interpret=None,
         output="f32",
@@ -1060,8 +1069,9 @@ class TileRenderer:
         # 170-173 NDCConfig): rays are converted to NDC on device before the
         # tree-space transform. NDC rays keep straight lines (the transform
         # is projective), so phase 1's per-corner hull walk stays exact; the
-        # quad-group frusta lose their shared apex, so group masks go
-        # conservative (all groups on) — see make_tile_inputs_fn.
+        # quad-group frusta lose their shared apex, so group masks switch
+        # to per-group segment-endpoint AABB planes — see
+        # make_tile_inputs_fn.
         self.ndc = ndc
         self.opts = RenderOptions(
             step_size=step_size,
@@ -1240,7 +1250,7 @@ class TileRenderer:
                 quantum=self.quantum,
                 ccap=ccap,
             ),
-            in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0),
+            in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0, 0),
         )
 
         def tile_inputs(c2w, csr, base, extra_data, blk_bbox):
@@ -1340,10 +1350,41 @@ class TileRenderer:
             # box is inside every half-space, so a cleared mask bit can
             # only be a true miss.
             if self.ndc is not None:
-                # NDC rays do not share an origin, so the apex-cone plane
-                # test below is unsound; zero normals make every half-space
-                # test pass — masks stay conservative (all groups active).
-                gplanes = jnp.zeros((n_tiles, 16, 3), jnp.float32)
+                # NDC rays share no apex, so the frustum-cone test below is
+                # unsound. But each ray's [tmin, tmax] span is a straight
+                # SEGMENT in tree space, so the AABB of the group's segment
+                # endpoints bounds every segment (segments are convex):
+                # 4 axis-normal lateral planes (±x, ±y) per group with
+                # per-plane offsets from that AABB give a sound,
+                # segment-limited group test through the same
+                # sign-split-matmul machinery (goff generalizes n·apex).
+                # Conservative: a box a group ray truly hits within
+                # [tmin, tmax] intersects the AABB; endpoint float noise
+                # (~4e-6 in tree units) is far under the 3e-4 test slack.
+                Q2 = Q * Q
+                axnorm = jnp.asarray(
+                    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0]],
+                    jnp.float32,
+                )
+                gplanes = jnp.broadcast_to(
+                    jnp.tile(axnorm, (4, 1))[None], (n_tiles, 16, 3)
+                )
+                e0 = o + tmin[..., None] * dn  # [T, RAYS, 3]
+                e1 = o + tmax[..., None] * dn
+                okr = ray_ok[..., None]
+                big0 = jnp.float32(1e4)
+                elo = jnp.minimum(
+                    jnp.where(okr, e0, big0), jnp.where(okr, e1, big0)
+                ).reshape(n_tiles, 4, Q2, 3)
+                ehi = jnp.maximum(
+                    jnp.where(okr, e0, -big0), jnp.where(okr, e1, -big0)
+                ).reshape(n_tiles, 4, Q2, 3)
+                glo = jnp.min(elo, axis=2)  # [T, 4, 3]
+                ghi = jnp.max(ehi, axis=2)
+                goff = jnp.stack(
+                    [glo[..., 0], -ghi[..., 0], glo[..., 1], -ghi[..., 1]],
+                    axis=-1,
+                ).reshape(n_tiles, 16)
             else:
                 gdirs = dn[:, gc_idx].reshape(n_tiles, 4, 4, 3)
                 A, B, Cq, D = (gdirs[:, :, k] for k in range(4))
@@ -1365,6 +1406,12 @@ class TileRenderer:
                     jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12
                 )
                 gplanes = nrm.reshape(n_tiles, 16, 3)
+                # Per-plane offsets n·apex (apex = the tile's ray-0 origin;
+                # all pinhole rays share it). HIGHEST for the same reason
+                # as the sd matmuls in _phase1.
+                goff = jnp.einsum(
+                    "tpc,tc->tp", gplanes, o[:, 0], precision="highest"
+                )
 
             (
                 chunk_c0, chunk_lo, chunk_hi, chunk_mask, n_kept_p,
@@ -1372,7 +1419,7 @@ class TileRenderer:
             ) = p1(
                 csr, base, self.index["margin"], blk_bbox,
                 o[:, corners], dn[:, corners],
-                gplanes, span_lo, span_hi, any_hit,
+                gplanes, goff, span_lo, span_hi, any_hit,
             )
             # Kernel iterates the post-drop piece list; saturation
             # detection keys on the pre-merge emission count (rcap) and

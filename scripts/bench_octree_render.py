@@ -87,7 +87,7 @@ def main():
     tile = int(os.environ.get("BO_TILE", 16))
     runrows = int(os.environ.get("BO_RUNROWS", 128))
     quantum = int(os.environ.get("BO_QUANTUM", 128))
-    nbuf = int(os.environ.get("BO_NBUF", 4))
+    nbuf = int(os.environ.get("BO_NBUF", 2))
 
     from plenoctree_tpu.octree.renderer import VolumeRenderer
     from plenoctree_tpu.octree.tile_render import TileRenderer

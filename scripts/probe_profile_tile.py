@@ -58,7 +58,7 @@ def main():
 
     reso = int(os.environ.get("BO_RESO", 800))
     runrows = int(os.environ.get("BO_RUNROWS", 128))
-    nbuf = int(os.environ.get("BO_NBUF", 4))
+    nbuf = int(os.environ.get("BO_NBUF", 2))
     tree = get_tree()
     t0 = time.time()
     # The persisted index is chunking-independent (COPY_PAD): any runrows

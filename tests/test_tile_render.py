@@ -267,6 +267,45 @@ class TestTileVsOracle:
         out_full = np.asarray(p2(*full, idx["soa"]))
         np.testing.assert_array_equal(out_masked, out_full)
 
+    def test_ndc_quad_mask_is_conservative(self, scene_tree):
+        # NDC group masks (segment-endpoint AABB planes — rays share no
+        # apex) may only skip provably-no-hit work: all-bits-on must
+        # reproduce the masked render bitwise. Also asserts the masks are
+        # non-vacuous (some bits actually cleared) so a regression to
+        # all-on would fail loudly.
+        import jax.numpy as jnp
+
+        from plenoctree_tpu.octree.renderer import make_ndc_config
+
+        h = w = 32
+        focal = 40.0
+        ndc = make_ndc_config(w, h, focal)
+        tr = TileRenderer(scene_tree, step_size=1e-3, grid_c=8,
+                          use_bf16=False, ndc=ndc)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[0, 3] = 0.1
+        tr.w1cap = tr.w1cap or 8
+        ti = tr.make_tile_inputs_fn(h, w, float(focal), tr.rcap, 8, tr.ccap)
+        idx = tr.index
+        p2_args, _, _, _ = ti(
+            jnp.asarray(c2w),
+            idx["csr"], idx["base"], tr.extra_data, idx["blk_bbox"],
+        )
+        meta, masks = np.asarray(p2_args[0]), np.asarray(p2_args[4])
+        nck = meta[:, 0, 0]
+        valid = np.zeros_like(masks, bool)
+        for t in range(masks.shape[0]):
+            valid[t, 0, : nck[t]] = True
+        assert (masks[valid] > 0).all()  # zero-mask pieces were compacted
+        assert (masks[valid] < 15).any(), "NDC masks are vacuously all-on"
+        n_tiles = p2_args[0].shape[0]
+        p2 = tr._get_p2(n_tiles, tr.ccap)
+        out_masked = np.asarray(p2(*p2_args, idx["soa"]))
+        full = list(p2_args)
+        full[4] = jnp.full_like(p2_args[4], 15)
+        out_full = np.asarray(p2(*full, idx["soa"]))
+        np.testing.assert_array_equal(out_masked, out_full)
+
     def test_sharded_mesh_matches_single_device(self, scene_tree):
         # Multi-chip serving: tile axis sharded over an 8-device mesh via
         # shard_map must reproduce the single-device render bitwise.
