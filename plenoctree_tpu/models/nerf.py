@@ -171,12 +171,38 @@ class NerfModel(nn.Module):
     def _decode_color(self, raw_rgb, viewdirs):
         """Apply the SH/SG color head against per-ray view directions."""
         if self.sh_deg >= 0:
+            k = (self.sh_deg + 1) ** 2
+            if (
+                self.compute_dtype == jnp.bfloat16
+                and raw_rgb.ndim == 3
+                and viewdirs.ndim == 3
+                and viewdirs.shape[1] == 1
+            ):
+                # Train-path decode, kept FLAT: the einsum form reshapes the
+                # coefficients to [B, S, C, K], and XLA materializes that 4D
+                # tensor through a layout transpose (profiled 4.1 ms/step of
+                # pure relayout at the bench scale, plus broadcast copies of
+                # the basis). Instead decode on the native [B, S, C*K] layout:
+                # one broadcast multiply against the channel-tiled basis and
+                # a [C*K, C] block-indicator matmul for the per-channel sums
+                # (the same contraction the fused kernel's epilogue uses,
+                # kernels/fused_mlp.py::_channel_selector). Numerics match
+                # the einsum's "default" precision class (bf16 MXU operands).
+                nc = raw_rgb.shape[-1] // k
+                basis = sh_basis(self.sh_deg, viewdirs[:, 0, :])  # [B, K]
+                tiled = jnp.concatenate([basis] * nc, axis=-1)  # [B, C*K]
+                prod = raw_rgb * tiled[:, None, :]
+                j = jnp.arange(nc * k) // k
+                sel = (j[:, None] == jnp.arange(nc)[None, :]).astype(
+                    raw_rgb.dtype
+                )
+                return jnp.dot(prod, sel)  # [B, S, C]
             precision = (
                 "default" if self.compute_dtype == jnp.bfloat16 else "highest"
             )
             raw_rgb = eval_sh(
                 self.sh_deg,
-                raw_rgb.reshape(raw_rgb.shape[:-1] + (-1, (self.sh_deg + 1) ** 2)),
+                raw_rgb.reshape(raw_rgb.shape[:-1] + (-1, k)),
                 viewdirs,
                 precision=precision,
             )
@@ -290,6 +316,11 @@ class NerfModel(nn.Module):
         raw_rgb, raw_sigma = self._query_mlp(
             self.MLP_0, samples, viewdirs_enc, basis=basis
         )
+        if raw_sigma.shape[-1] == 1:
+            # Keep sigma [B, S] through noise/activation/compositing: the
+            # [B, S, 1] form flattens to [B*S, 1]{8,128} on TPU — one live
+            # lane column (see ops/rendering.py::volumetric_rendering).
+            raw_sigma = raw_sigma[..., 0]
 
         key, rng_0 = random.split(rng_0)
         raw_sigma = ops_sampling.add_gaussian_noise(
@@ -320,6 +351,8 @@ class NerfModel(nn.Module):
             raw_rgb, raw_sigma = self._query_mlp(
                 self.MLP_1, samples, viewdirs_enc, basis=basis
             )
+            if raw_sigma.shape[-1] == 1:
+                raw_sigma = raw_sigma[..., 0]
             key, rng_1 = random.split(rng_1)
             raw_sigma = ops_sampling.add_gaussian_noise(
                 key, raw_sigma, self.noise_std, randomized
